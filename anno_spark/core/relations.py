@@ -1,0 +1,129 @@
+"""R1 — pairwise trigger-pattern relation extraction (SURVEY §2.4).
+
+Behavioral re-implementation of the reference's heuristic relation extractor
+(anno/src/backends/inference.rs:2014-2073 + detect_relation_type
+:2079-2163). All six relation slugs are treated as registered — this engine's
+KG-construction profile registers the full pattern set.
+
+Quirks preserved for parity:
+
+* ordered pairs (i, j), i != j — both directions are attempted
+* char distance gate <= max_span_distance (default 50, inference.rs:1991-1999)
+* the between-text slice uses the entity *char* offsets as *byte* indices
+  into the UTF-8 text (inference.rs:2051 `text.get(span_start..span_end)`),
+  falling back to "" off char boundaries — byte == char for ASCII text
+* first pattern-group hit wins, in source order; note "founded" is a CEO_OF
+  trigger before FOUNDED is reached (inference.rs:2097-2128)
+* type gates: employment requires head PER + tail ORG; location requires
+  tail LOC (inference.rs:2139-2149)
+* trigger span = byte position of the trigger within the lowercased
+  between-text, offset by span_start (inference.rs:2063)
+
+R3 — co-occurrence fallback edges (anno-core/src/graph.rs:320-382).
+"""
+
+from __future__ import annotations
+
+from .entity import LOC, ORG, PER, Mention, Triple
+
+MAX_SPAN_DISTANCE = 50
+
+# (slug, triggers, confidence) in reference source order.
+REL_PATTERNS = (
+    ("CEO_OF", ("ceo of", "chief executive", "leads", "founded"), 0.8),
+    ("WORKS_FOR", ("works for", "works at", "employed by", "employee of"), 0.7),
+    ("FOUNDED", ("founded", "co-founded", "started", "established"), 0.8),
+    ("LOCATED_IN", ("in", "at", "based in", "located in", "headquartered in"), 0.6),
+    ("BORN_IN", ("born in", "native of", "from"), 0.7),
+    ("PART_OF", ("part of", "member of", "belongs to", "subsidiary of"), 0.7),
+)
+
+_EMPLOYMENT = ("CEO_OF", "WORKS_FOR", "FOUNDED")
+_LOCATION = ("LOCATED_IN", "BORN_IN")
+
+
+def _byte_slice(text_bytes: bytes, start: int, end: int) -> str:
+    """Rust ``text.get(start..end)`` semantics on byte indices → str or ""."""
+    if start > end or end > len(text_bytes):
+        return ""
+    try:
+        return text_bytes[start:end].decode("utf-8")
+    except UnicodeDecodeError:
+        return ""
+
+
+def detect_relation_type(head: Mention, tail: Mention, between_text: str):
+    """inference.rs:2079-2163 → (slug, confidence, (trig_start, trig_end)) | None.
+    Trigger offsets are byte offsets into the lowercased between-text."""
+    between_lower = between_text.lower()
+    between_bytes = between_lower.encode("utf-8")
+    for slug, triggers, conf in REL_PATTERNS:
+        for trigger in triggers:
+            pos = between_bytes.find(trigger.encode("utf-8"))
+            if pos == -1:
+                continue
+            if slug in _EMPLOYMENT:
+                valid = head.entity_type == PER and tail.entity_type == ORG
+            elif slug in _LOCATION:
+                valid = tail.entity_type == LOC
+            else:
+                valid = True
+            if valid:
+                return (slug, conf, (pos, pos + len(trigger)))
+    return None
+
+
+def extract_relations(
+    entities: list[Mention], text: str, max_span_distance: int = MAX_SPAN_DISTANCE
+) -> list[Triple]:
+    """inference.rs:2014-2073 — all ordered pairs within the distance gate."""
+    triples: list[Triple] = []
+    text_bytes = text.encode("utf-8")
+    n = len(entities)
+    for i in range(n):
+        head = entities[i]
+        for j in range(n):
+            if i == j:
+                continue
+            tail = entities[j]
+            if head.end <= tail.start:
+                distance = tail.start - head.end
+                span_start, span_end = head.end, tail.start
+            else:
+                distance = max(head.start - tail.end, 0)
+                span_start, span_end = tail.end, head.start
+            if distance > max_span_distance:
+                continue
+            between_text = _byte_slice(text_bytes, span_start, span_end)
+            hit = detect_relation_type(head, tail, between_text)
+            if hit is None:
+                continue
+            slug, conf, (ts, te) = hit
+            triples.append(
+                Triple(
+                    head.text, head.entity_type, head.start, head.end,
+                    slug,
+                    tail.text, tail.entity_type, tail.start, tail.end,
+                    span_start + ts, span_start + te, conf,
+                )
+            )
+    return triples
+
+
+def cooccurrence_edges(entities: list[Mention], max_distance: int = 100):
+    """R3 — graph.rs:320-382: all entity pairs within max_distance chars get a
+    RELATED_TO edge with the distance as a property; no self-loops."""
+    edges = []
+    n = len(entities)
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = entities[i], entities[j]
+            if b.start >= a.end:
+                distance = b.start - a.end
+            elif a.start >= b.end:
+                distance = a.start - b.end
+            else:
+                distance = 0
+            if distance <= max_distance:
+                edges.append((i, j, "RELATED_TO", distance))
+    return edges
