@@ -41,19 +41,41 @@ def extract_ngrams(text: str, n: int = NGRAM_SIZE) -> list[str]:
     return [text[i : i + n] for i in range(len(text) - n + 1)]
 
 
+# gram → hash-vector cache: n-grams repeat massively across documents, so
+# memoizing the per-gram FNV vector turns the signature cost from
+# O(len·rows) hashing into mostly dict lookups. Purely an evaluation
+# cache — results are bit-identical with or without it.
+_GRAM_CACHE: dict = {}
+_GRAM_CACHE_MAX = 1_000_000
+
+
+def _gram_hashes(gram: str, total: int) -> tuple:
+    key = (gram, total)
+    hit = _GRAM_CACHE.get(key)
+    if hit is None:
+        gb = gram.encode("utf-8")
+        hit = tuple(fnv1a_seeded(gb, h) for h in range(total))
+        if len(_GRAM_CACHE) < _GRAM_CACHE_MAX:
+            _GRAM_CACHE[key] = hit
+    return hit
+
+
 def compute_signature(
     text: str, num_bands: int = NUM_BANDS, rows_per_band: int = ROWS_PER_BAND
 ) -> list[int]:
-    """cdcr.rs:350-366 — minhash signature of the lowercased text (u64s)."""
+    """cdcr.rs:350-366 — minhash signature of the lowercased text (u64s).
+
+    Duplicate grams are collapsed first (min over duplicates == min over
+    the set) and per-gram hash vectors are memoized across calls.
+    """
     normalized = text.lower()
-    ngram_bytes = [g.encode("utf-8") for g in extract_ngrams(normalized)]
     total = num_bands * rows_per_band
     sig = [_M64] * total
-    for gb in ngram_bytes:
+    for gram in set(extract_ngrams(normalized)):
+        hashes = _gram_hashes(gram, total)
         for h in range(total):
-            v = fnv1a_seeded(gb, h)
-            if v < sig[h]:
-                sig[h] = v
+            if hashes[h] < sig[h]:
+                sig[h] = hashes[h]
     return sig
 
 

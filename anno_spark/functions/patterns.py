@@ -1,0 +1,45 @@
+"""Single-pattern extraction over a text column (N1 subset).
+
+Runs ONE named RegexNER pattern (anno_spark.core.regex_ner, the exact
+reference pattern set, regex.rs:67-215) as an Arrow-batched pandas UDF
+and explodes the matches. Used by the driver-checked oracle queries:
+DuckDB re-runs the same RE2-compatible pattern via regexp_extract_all,
+giving an independent-engine differential test of the UDF machinery.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# provenance name → (python pattern, RE2/DuckDB-compatible pattern string)
+ORACLE_SAFE_PATTERNS = {
+    "EMAIL": r"\b[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}\b",
+    "DATE_ISO": r"\b\d{4}-\d{2}-\d{2}\b",
+    "PERCENT": r"\b\d+(?:\.\d+)?\s*(?:%|percent\b|pct\b)",
+    "MONEY_SYMBOL": r"[$€£¥][\d,]+(?:\.\d{1,2})?(?:\s*(?:billion|million|thousand|B|M|K|bn|mn))?",
+    "URL": r"(?i)\bhttps?://[^\s<>\[\]{}|\\^`\x00-\x1f]+",
+}
+
+
+def pattern_matches(df: DataFrame, pattern_name: str, text_col: str = "probe_text") -> DataFrame:
+    """→ (doc_id, mention) — one row per non-overlapping match."""
+    import re
+
+    pat_src = ORACLE_SAFE_PATTERNS[pattern_name]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pat = re.compile(pat_src)
+        for pdf in batches:
+            out = [
+                [m.group(0) for m in pat.finditer(t or "")] for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "matches": out})
+
+    matched = df.select("doc_id", text_col).mapInPandas(
+        run, schema="doc_id bigint, matches array<string>"
+    )
+    return matched.select("doc_id", F.explode("matches").alias("mention"))

@@ -1,0 +1,261 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each a `queries()` entry (driver-checked):
+
+* exact        — hash-groupBy on the full text (codegen'd md5)
+* minhash/LSH  — shingle → minhash → band → bucket-join → verify
+                 (reuses the X1/X2 machinery from the CDCR resolver,
+                 anno_spark.core.minhash, at document granularity)
+* simhash      — 64-bit simhash + banded Hamming blocking
+* ngram-Jaccard— exact Jaccard on char-3-gram sets over LSH candidates
+
+At 100 TB: all four block before any pairwise work — the only shuffle
+that touches full text is the one distinct/groupBy; pair verification
+joins on pre-hashed compact columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .resolve import connected_components
+from .textstats import normalized_fingerprint
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (fingerprint, n_docs, first_doc, doc_ids) per distinct text."""
+    return (
+        docs.select(
+            normalized_fingerprint(F.col(text_col)).alias("fingerprint"),
+            "doc_id",
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# minhash/LSH near-dup (document granularity)
+
+DOC_NUM_BANDS = 8
+DOC_ROWS_PER_BAND = 4
+
+
+def _doc_signature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from anno_spark.core.minhash import band_hashes, compute_signature, to_i64
+
+    for pdf in batches:
+        sigs, bands = [], []
+        for t in pdf["text"]:
+            sig = compute_signature(t or "", DOC_NUM_BANDS, DOC_ROWS_PER_BAND)
+            sigs.append([to_i64(v) for v in sig])
+            bands.append(
+                [to_i64(b) for b in band_hashes(sig, DOC_NUM_BANDS, DOC_ROWS_PER_BAND)]
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "signature": sigs, "band_hashes": bands}
+        )
+
+
+def doc_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, signature array<bigint>, band_hashes array<bigint>).
+
+    8 bands × 4 rows ⇒ candidate-recall ~1 at Jaccard ≥ .8, ~.3 at .5 —
+    the standard near-dup operating point. Repartitioned to full
+    parallelism first: the signature UDF is the CPU-heavy stage."""
+    par = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    return (
+        docs.select("doc_id", F.col(text_col).alias("text"))
+        .repartition(par)
+        .mapInPandas(
+            _doc_signature_batches,
+            schema="doc_id bigint, signature array<bigint>, band_hashes array<bigint>",
+        )
+    )
+
+
+def minhash_candidate_pairs(sigs: DataFrame, max_bucket_size: int | None = 1000) -> DataFrame:
+    """LSH band join → candidate (doc_a, doc_b) pairs with estimated
+    Jaccard = fraction of agreeing signature rows (JVM zip_with)."""
+    bands = sigs.select(
+        "doc_id", "signature", F.posexplode("band_hashes").alias("band", "band_hash")
+    )
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "band_hash").agg(F.count("*").alias("n"))
+        bands = bands.join(
+            sizes.where(F.col("n") <= max_bucket_size), ["band", "band_hash"]
+        ).drop("n")
+    left = bands.select(
+        "band", "band_hash", F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")
+    )
+    right = bands.select(
+        "band", "band_hash", F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")
+    )
+    pairs = (
+        left.join(right, ["band", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        (agree.cast("double") / F.size("sig_a").cast("double")).alias("est_jaccard"),
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame, threshold: float = 0.8, text_col: str = "text"
+) -> DataFrame:
+    """→ (cluster_id, doc_id): connected components over pairs with
+    estimated Jaccard ≥ threshold. Singletons omitted."""
+    sigs = doc_signatures(docs, text_col)
+    pairs = minhash_candidate_pairs(sigs).where(F.col("est_jaccard") >= threshold)
+    edges = pairs.select(F.col("doc_a").alias("key_a"), F.col("doc_b").alias("key_b"))
+    nodes = (
+        edges.select(F.col("key_a").alias("key_id"))
+        .union(edges.select("key_b"))
+        .distinct()
+    )
+    comps = connected_components(nodes, edges)
+    return comps.select(
+        F.col("component_id").alias("cluster_id"), F.col("key_id").alias("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# simhash near-dup
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 × 16-bit bands: catches pairs with Hamming ≤ 3 for sure
+
+
+def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from anno_spark.core.minhash import fnv1a_seeded, to_i64
+
+    mask16 = (1 << 16) - 1
+    tok_cache: dict[str, int] = {}
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+    def tok_hash(tok: str) -> int:
+        h = tok_cache.get(tok)
+        if h is None:
+            h = fnv1a_seeded(tok.encode("utf-8"), 0)
+            if len(tok_cache) < 2_000_000:
+                tok_cache[tok] = h
+        return h
+
+    for pdf in batches:
+        out_h, out_bands = [], []
+        for t in pdf["text"]:
+            tokens = (t or "").lower().split()
+            if tokens:
+                hashes = np.fromiter(
+                    (tok_hash(tok) for tok in tokens), dtype=np.uint64, count=len(tokens)
+                )
+                # weighted-bit vote, vectorized: bits → ±1 → column sums
+                bits = (hashes[:, None] >> bit_idx) & np.uint64(1)
+                counts = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+                h64 = int(((counts > 0).astype(np.uint64) << bit_idx).sum())
+            else:
+                h64 = 0
+            out_h.append(to_i64(h64))
+            out_bands.append([(h64 >> (16 * b)) & mask16 for b in range(SIMHASH_BANDS)])
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "simhash": out_h, "bands": out_bands}
+        )
+
+
+def simhash_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    par = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    return (
+        docs.select("doc_id", F.col(text_col).alias("text"))
+        .repartition(par)
+        .mapInPandas(
+            _simhash_batches, schema="doc_id bigint, simhash bigint, bands array<int>"
+        )
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Banded simhash blocking → pairs with Hamming(simhash) ≤ max_hamming."""
+    sh = simhash_table(docs, text_col)
+    bands = sh.select("doc_id", "simhash", F.posexplode("bands").alias("band", "band_val"))
+    left = bands.select("band", "band_val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"))
+    right = bands.select("band", "band_val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"))
+    pairs = (
+        left.join(right, ["band", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (verification pass over LSH candidates)
+
+
+def _shingle_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from anno_spark.core.minhash import extract_ngrams, fnv1a_seeded, to_i64
+
+    for pdf in batches:
+        out = [
+            sorted(
+                {
+                    to_i64(fnv1a_seeded(g.encode("utf-8"), 0))
+                    for g in extract_ngrams((t or "").lower())
+                }
+            )
+            for t in pdf["text"]
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "shingles": out})
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """LSH candidates re-verified with EXACT Jaccard over hashed char
+    3-gram sets (the sets travel as compact bigint arrays; the Jaccard is
+    a JVM array_intersect — no Python touches the pair table)."""
+    sigs = doc_signatures(docs, text_col)
+    cands = minhash_candidate_pairs(sigs).select("doc_a", "doc_b")
+    par = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    sh = (
+        docs.select("doc_id", F.col(text_col).alias("text"))
+        .repartition(par)
+        .mapInPandas(_shingle_batches, schema="doc_id bigint, shingles array<bigint>")
+    )
+    j = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jacc = F.when(union == 0, 1.0).otherwise(inter.cast("double") / union.cast("double"))
+    return j.select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )

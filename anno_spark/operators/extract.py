@@ -1,0 +1,221 @@
+"""Extraction operators (SURVEY §2.2–§2.5): T1 html→text, T3 lang-id,
+N1–N4 NER, R1 relations, C1–C3 coref — all as Arrow-batched pandas UDFs.
+
+Design: ONE extraction pass per page. ``extract_documents`` runs the full
+single-doc pipeline (anno_spark.core.document.extract_document — the same
+code that serves as the pytest oracle) inside ``mapInPandas`` and emits a
+row per url carrying `array<struct>` columns for mentions / triples /
+tracks. The three normalized tables are then cheap `explode`s of that one
+output — the expensive NER never runs twice. At 100 TB the extracted
+table is written once (snapshot) and every downstream stage reads the
+narrow columns it needs (column pruning does the rest).
+
+Reference lifecycle being reproduced: EP1/EP2/EP3 in SURVEY §3
+(anno-cli extract.rs:89-240, crossdoc.rs:85-668, pipeline.rs:63-218).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# schemas
+
+MENTION_STRUCT = (
+    "mention_idx int, text string, entity_type string, start int, end int, "
+    "confidence double, pattern string, source string"
+)
+TRIPLE_STRUCT = (
+    "subj_text string, subj_type string, subj_start int, subj_end int, "
+    "pred string, obj_text string, obj_type string, obj_start int, obj_end int, "
+    "trigger_start int, trigger_end int, confidence double"
+)
+TRACK_STRUCT = (
+    "track_id int, canonical_surface string, entity_type string, "
+    "signal_ids array<int>"
+)
+
+EXTRACTED_SCHEMA = (
+    f"url string, mentions array<struct<{MENTION_STRUCT}>>, "
+    f"triples array<struct<{TRIPLE_STRUCT}>>, "
+    f"tracks array<struct<{TRACK_STRUCT}>>, "
+    "pronoun_count int, truncated boolean"
+)
+
+TEXT_SCHEMA = "url string, text string"
+
+
+# --------------------------------------------------------------------------
+# T1 — HTML → text (the byte-identical surface)
+
+
+def _html_to_text_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from anno_spark.core.textops import extract_text_from_html
+
+    for pdf in batches:
+        htmls = pdf["html"]
+        texts = [
+            extract_text_from_html(
+                h.decode("utf-8", errors="replace") if isinstance(h, (bytes, bytearray)) else (h or "")
+            )
+            for h in htmls
+        ]
+        yield pd.DataFrame({"url": pdf["url"], "text": texts})
+
+
+def html_to_text(pages: DataFrame) -> DataFrame:
+    """T1 (url_resolver.rs:45-170 semantics): pages → (url, text).
+
+    Column-pruned input: only (url, html) are read from the scan.
+    """
+    return pages.select("url", "html").mapInPandas(
+        _html_to_text_batches, schema=TEXT_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# T3 — language detection
+
+
+def _detect_lang_series(texts: pd.Series) -> pd.Series:
+    from anno_spark.core.textops import detect_language
+
+    return texts.map(lambda t: detect_language(t or ""))
+
+
+def detect_lang_udf():
+    """T3 (lang.rs:54-120) as a scalar pandas UDF (built lazily: a UDF
+    registration needs an active SparkSession)."""
+    return F.pandas_udf(_detect_lang_series, "string")
+
+
+# --------------------------------------------------------------------------
+# full per-document extraction (N1–N4 + R1 + C1–C3)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from anno_spark.core.document import extract_document
+
+    for pdf in batches:
+        rows = []
+        for url, text in zip(pdf["url"], pdf["text"]):
+            ext = extract_document(text or "")
+            rows.append(
+                {
+                    "url": url,
+                    "mentions": [
+                        {
+                            "mention_idx": i,
+                            "text": m.text,
+                            "entity_type": m.entity_type,
+                            "start": m.start,
+                            "end": m.end,
+                            "confidence": m.confidence,
+                            "pattern": m.pattern,
+                            "source": m.source,
+                        }
+                        for i, m in enumerate(ext.mentions)
+                    ],
+                    "triples": [
+                        {
+                            "subj_text": t.subj_text,
+                            "subj_type": t.subj_type,
+                            "subj_start": t.subj_start,
+                            "subj_end": t.subj_end,
+                            "pred": t.pred,
+                            "obj_text": t.obj_text,
+                            "obj_type": t.obj_type,
+                            "obj_start": t.obj_start,
+                            "obj_end": t.obj_end,
+                            "trigger_start": t.trigger_start,
+                            "trigger_end": t.trigger_end,
+                            "confidence": t.confidence,
+                        }
+                        for t in ext.triples
+                    ],
+                    "tracks": [
+                        {
+                            "track_id": tr.track_id,
+                            "canonical_surface": tr.canonical_surface,
+                            "entity_type": tr.entity_type,
+                            "signal_ids": list(tr.signal_ids),
+                        }
+                        for tr in ext.tracks
+                    ],
+                    "pronoun_count": ext.pronoun_count,
+                    "truncated": ext.truncated,
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "url",
+                "mentions",
+                "triples",
+                "tracks",
+                "pronoun_count",
+                "truncated",
+            ],
+        )
+
+
+def extract_documents(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """pages → extracted (url, mentions[], triples[], tracks[], metrics).
+
+    Reads only (url, text): when the input already carries the extracted
+    text (input_hint), html is never scanned.
+    """
+    src = pages.select("url", F.col(text_col).alias("text"))
+    return src.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# normalized tables (cheap explodes of the single extraction pass)
+
+
+def mentions_table(extracted: DataFrame) -> DataFrame:
+    """(url, mention_idx, text, entity_type, start, end, confidence,
+    pattern, source, mention_id) — mention_id is a content hash
+    (SURVEY §7.4: no global counters on a cluster)."""
+    m = extracted.select("url", F.explode("mentions").alias("m")).select(
+        "url", "m.*"
+    )
+    return m.withColumn(
+        "mention_id",
+        F.xxhash64("url", "start", "end", "entity_type"),
+    )
+
+
+def triples_table(extracted: DataFrame) -> DataFrame:
+    return extracted.select("url", F.explode("triples").alias("t")).select(
+        "url", "t.*"
+    )
+
+
+def tracks_table(extracted: DataFrame) -> DataFrame:
+    t = extracted.select("url", F.explode("tracks").alias("t")).select(
+        "url", "t.*"
+    )
+    return t.withColumn(
+        "track_uid", F.xxhash64("url", "track_id", "entity_type")
+    )
+
+
+def extraction_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage metrics (SURVEY §4 explicit-engineering #5):
+    one row per executor partition with page/mention/triple counts."""
+    return (
+        extracted.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("pages"),
+            F.sum(F.size("mentions")).alias("mentions"),
+            F.sum(F.size("triples")).alias("triples"),
+            F.sum(F.size("tracks")).alias("tracks"),
+            F.sum(F.col("truncated").cast("int")).alias("truncated_pages"),
+        )
+    )

@@ -1,0 +1,109 @@
+"""G1–G3/G5 — knowledge-graph materialization (SURVEY §2.7).
+
+nodes: one row per canonical identity, id per the reference priority
+rule kb_id > coref_<id> > "{type}:{name}" (graph.rs:677-691), with
+mention counts (graph.rs:227-290).
+
+edges: triples joined to the node table on BOTH endpoints — the inner
+join enforces the reference's both-nodes-exist rule (graph.rs:292-312).
+Each endpoint join keys on the (surface, entity_type) pair, hitting the
+same distinct-surface table the resolver built, so edge construction is
+two hash joins on a pre-aggregated (small) dimension — broadcast when it
+fits (typical: distinct surfaces ≪ triples).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def node_id_expr(kb_id, identity_id, entity_type, name):
+    """graph.rs:677-691 priority: kb_id > coref_<id> > type:name."""
+    return (
+        F.when(kb_id.isNotNull(), kb_id)
+        .when(identity_id.isNotNull(), F.concat(F.lit("coref_"), identity_id.cast("string")))
+        .otherwise(
+            F.concat(
+                F.lower(entity_type),
+                F.lit(":"),
+                F.replace(F.lower(name), F.lit(" "), F.lit("_")),
+            )
+        )
+    )
+
+
+def nodes_table(identities: DataFrame) -> DataFrame:
+    """identities → nodes(node_id, name, node_type, n_mentions, n_docs,
+    n_surfaces, aliases, kb_id)."""
+    return identities.select(
+        node_id_expr(
+            F.col("kb_id"),
+            F.col("identity_id"),
+            F.col("entity_type"),
+            F.col("canonical_name"),
+        ).alias("node_id"),
+        F.col("identity_id"),
+        F.col("canonical_name").alias("name"),
+        F.col("entity_type").alias("node_type"),
+        "n_mentions",
+        "n_docs",
+        "n_surfaces",
+        "aliases",
+        "kb_id",
+    )
+
+
+def edges_table(triples: DataFrame, keyed_surfaces: DataFrame, nodes: DataFrame) -> DataFrame:
+    """triples + surface→identity map + nodes → edges(src_node, dst_node,
+    relation, confidence, n_occurrences).
+
+    keyed_surfaces: (surface, entity_type, identity_id) from the resolver.
+    The dimension is broadcast if small (Catalyst AQE decides; explicit
+    hint applied since distinct surfaces ≪ triples at web scale only
+    after heavy-hitter pruning — here always small enough).
+    """
+    surf = F.broadcast(
+        keyed_surfaces.select("surface", "entity_type", "identity_id")
+    )
+    node_ids = F.broadcast(nodes.select("identity_id", "node_id"))
+
+    t = triples.select(
+        F.lower("subj_text").alias("subj_surface"),
+        F.col("subj_type"),
+        F.lower("obj_text").alias("obj_surface"),
+        F.col("obj_type"),
+        "pred",
+        "confidence",
+    )
+    s = t.join(
+        surf.withColumnRenamed("surface", "subj_surface")
+        .withColumnRenamed("entity_type", "subj_type")
+        .withColumnRenamed("identity_id", "subj_identity"),
+        ["subj_surface", "subj_type"],
+    )
+    so = s.join(
+        surf.withColumnRenamed("surface", "obj_surface")
+        .withColumnRenamed("entity_type", "obj_type")
+        .withColumnRenamed("identity_id", "obj_identity"),
+        ["obj_surface", "obj_type"],
+    )
+    resolved = (
+        so.join(
+            node_ids.withColumnRenamed("identity_id", "subj_identity")
+            .withColumnRenamed("node_id", "src_node"),
+            "subj_identity",
+        )
+        .join(
+            node_ids.withColumnRenamed("identity_id", "obj_identity")
+            .withColumnRenamed("node_id", "dst_node"),
+            "obj_identity",
+        )
+    )
+    return (
+        resolved.groupBy("src_node", "dst_node", F.col("pred").alias("relation"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.max("confidence").alias("confidence"),
+        )
+    )

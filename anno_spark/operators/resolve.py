@@ -1,0 +1,326 @@
+"""X1–X7 — cross-document entity resolution at scale (SURVEY §2.6).
+
+The reference resolver (anno/src/eval/cdcr.rs:420-578) union-finds over
+*mentions*. The scale-correct reformulation used here exploits an exact
+equivalence: two mentions with identical ``(lower(text), entity_type)``
+always cluster together (identical lowercased text ⇒ identical minhash
+signature ⇒ same LSH buckets ⇒ candidate pair; string_similarity = 1.0 ≥
+any threshold; types equal). Therefore the mention graph's connected
+components equal the components of the **distinct-surface graph** whose
+nodes are ``(lower(text), entity_type)`` keys. On a 10¹²-mention corpus
+that drops the clustering problem from 10¹² nodes to ~10⁸ distinct
+surfaces — mentions re-attach to their key's component with one hash join.
+
+Stages (each a narrow DataFrame op; shuffles only where marked):
+
+1. ``surface_keys``     — distinct (surface, entity_type) + mention counts
+                          [shuffle: groupBy key]
+2. ``band_table``       — minhash/LSH band hashes per key (pandas UDF,
+                          exact FNV-1a parity with cdcr.rs:350-402)
+3. ``candidate_pairs``  — self-equi-join on (band, band_hash)
+                          [shuffle: the LSH join; AQE skew-split on;
+                          optional max_bucket_size cap for stop-surface
+                          buckets — the explicit salting/skew lever]
+4. ``score_pairs``      — string_similarity ≥ τ + type gate, entirely in
+                          JVM expressions (no Python in the pair hot path)
+5. ``connected_components`` — iterative min-label propagation with
+                          per-iteration localCheckpoint (SURVEY §4 #2)
+6. ``identities``       — per-component canonicalization + KB link
+                          [shuffle: groupBy component]
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MIN_SIMILARITY = 0.5  # cdcr.rs:433-442 default
+
+
+# --------------------------------------------------------------------------
+# 1. distinct surface keys
+
+
+def surface_keys(mentions: DataFrame) -> DataFrame:
+    """mentions → distinct (surface, entity_type) keys with stats.
+
+    surface = lower(text); key_id = xxhash64(surface, entity_type)
+    (content-derived: stable across runs and cluster sizes, SURVEY §7.4).
+    """
+    return (
+        mentions.select(
+            F.lower(F.col("text")).alias("surface"),
+            "entity_type",
+            "url",
+        )
+        .groupBy("surface", "entity_type")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("url").alias("n_docs"),
+        )
+        .withColumn("key_id", F.xxhash64("surface", "entity_type"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. minhash band hashes (exact FNV-1a parity, cdcr.rs:350-402)
+
+
+def _band_hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from anno_spark.core.minhash import band_hashes, compute_signature, to_i64
+
+    for pdf in batches:
+        out_bands = [
+            [to_i64(b) for b in band_hashes(compute_signature(s or ""))]
+            for s in pdf["surface"]
+        ]
+        yield pd.DataFrame(
+            {
+                "key_id": pdf["key_id"],
+                "surface": pdf["surface"],
+                "entity_type": pdf["entity_type"],
+                "band_hashes": out_bands,
+            }
+        )
+
+
+def band_table(keys: DataFrame) -> DataFrame:
+    """keys → (key_id, surface, entity_type, band, band_hash), one row per
+    LSH band (5 bands × 3 rows, cdcr.rs:288-296)."""
+    sigs = keys.select("key_id", "surface", "entity_type").mapInPandas(
+        _band_hash_batches,
+        schema="key_id bigint, surface string, entity_type string, band_hashes array<bigint>",
+    )
+    return sigs.select(
+        "key_id",
+        "surface",
+        "entity_type",
+        F.posexplode("band_hashes").alias("band", "band_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. LSH candidate pairs
+
+
+def candidate_pairs(
+    bands: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Self-join on (band, band_hash) → distinct key pairs (a < b).
+
+    ``max_bucket_size`` caps pathological buckets (the "the company"
+    stop-surface problem, SURVEY §7.5): buckets larger than the cap are
+    dropped *for candidate generation only* — at web scale a bucket with
+    10⁵ distinct surfaces contributes 10¹⁰ pairs and is always a
+    stop-surface artifact. None = exact reference parity.
+    """
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "band_hash").agg(
+            F.count("*").alias("bucket_n")
+        )
+        bands = bands.join(
+            sizes.where(F.col("bucket_n") <= max_bucket_size),
+            ["band", "band_hash"],
+        ).drop("bucket_n")
+    left = bands.select(
+        "band",
+        "band_hash",
+        F.col("key_id").alias("key_a"),
+        F.col("surface").alias("surface_a"),
+        F.col("entity_type").alias("type_a"),
+    )
+    right = bands.select(
+        "band",
+        "band_hash",
+        F.col("key_id").alias("key_b"),
+        F.col("surface").alias("surface_b"),
+        F.col("entity_type").alias("type_b"),
+    )
+    pairs = left.join(right, ["band", "band_hash"]).where(
+        F.col("key_a") < F.col("key_b")
+    )
+    return pairs.select(
+        "key_a", "surface_a", "type_a", "key_b", "surface_b", "type_b"
+    ).dropDuplicates(["key_a", "key_b"])
+
+
+# --------------------------------------------------------------------------
+# 4. pair scoring — string_similarity (similarity.rs:37-92) as JVM exprs
+
+
+def _word_set(col):
+    # Python str.split() ≡ split on \s+ runs, dropping empties.
+    # (?U) makes Java \s match Unicode whitespace like Python's split().
+    arr = F.split(F.trim(col), r"(?U)\s+")
+    return F.array_distinct(F.filter(arr, lambda w: w != F.lit("")))
+
+
+def string_similarity_expr(a, b):
+    """JVM-side string_similarity: 1.0 exact → 0.8 containment →
+    word-set Jaccard. Inputs are already lowercased surfaces."""
+    wa, wb = _word_set(a), _word_set(b)
+    inter = F.size(F.array_intersect(wa, wb))
+    union = F.size(F.array_union(wa, wb))
+    jacc = F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+    return (
+        F.when((a == "") & (b == ""), F.lit(1.0))
+        .when((a == "") | (b == ""), F.lit(0.0))
+        .when(a == b, F.lit(1.0))
+        .when(F.instr(a, b) > 0, F.lit(0.8))
+        .when(F.instr(b, a) > 0, F.lit(0.8))
+        .otherwise(jacc)
+    )
+
+
+def score_pairs(
+    pairs: DataFrame,
+    min_similarity: float = MIN_SIMILARITY,
+    require_type_match: bool = True,
+) -> DataFrame:
+    """should_cluster (cdcr.rs:539-548) → surviving alias edges."""
+    scored = pairs.withColumn(
+        "similarity",
+        string_similarity_expr(F.col("surface_a"), F.col("surface_b")),
+    )
+    if require_type_match:
+        scored = scored.where(F.col("type_a") == F.col("type_b"))
+    return scored.where(F.col("similarity") >= F.lit(min_similarity)).select(
+        "key_a", "key_b", "similarity"
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. iterative connected components (union-find as a DataFrame loop)
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """→ (key_id, component_id) where component_id = min key_id reachable.
+
+    Min-label propagation: each iteration every node adopts the minimum
+    label among itself and its neighbors; converges in O(component
+    diameter) rounds — alias-cluster diameters are tiny (name variants),
+    so this beats large-star/small-star's extra shuffles here. Each
+    iteration localCheckpoints to truncate lineage (SURVEY §4 #2).
+    """
+    sym = (
+        edges.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
+        .union(
+            edges.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col("key_id"), F.col("key_id").alias("component_id")
+    ).localCheckpoint()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["src"] == labels["key_id"])
+            .select(F.col("dst").alias("key_id"), "component_id")
+            .groupBy("key_id")
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        # one job: materialize (new label, changed flag) per node; the
+        # change probe then reads the checkpointed result for free
+        updated = (
+            labels.join(neighbor_min, "key_id", "left")
+            .select(
+                "key_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("component_id")),
+                ).alias("component_id"),
+                (F.coalesce(F.col("nbr_min"), F.col("component_id"))
+                 < F.col("component_id")).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        labels = updated.select("key_id", "component_id")
+        if len(updated.where("changed").take(1)) == 0:
+            break
+    return labels
+
+
+# --------------------------------------------------------------------------
+# 6. identities
+
+
+def identities_table(
+    keys: DataFrame, components: DataFrame
+) -> DataFrame:
+    """Per-component canonical entity (X5, resolver.rs:151-214) with a
+    deterministic canonical pick: most mentions, ties → lexicographically
+    greatest surface (documented divergence from the reference's HashMap
+    order, SURVEY §7.3). KB ids via broadcast lookup (C5)."""
+    from anno_spark.core.document import KNOWN_KB_ENTITIES
+
+    keyed = keys.join(components, "key_id")
+    idents = keyed.groupBy("component_id").agg(
+        F.max_by(
+            "surface", F.struct(F.col("n_mentions"), F.col("surface"))
+        ).alias("canonical_name"),
+        F.max_by(
+            "entity_type", F.struct(F.col("n_mentions"), F.col("surface"))
+        ).alias("entity_type"),
+        F.sum("n_mentions").alias("n_mentions"),
+        F.sum("n_docs").alias("n_docs"),
+        F.count("*").alias("n_surfaces"),
+        F.sort_array(F.collect_set("surface")).alias("aliases"),
+    )
+    spark = keys.sparkSession
+    kb = spark.createDataFrame(
+        [(name, qid, desc) for name, (qid, desc) in KNOWN_KB_ENTITIES.items()],
+        "canonical_lower string, kb_id string, kb_description string",
+    )
+    return (
+        idents.withColumn("canonical_lower", F.lower("canonical_name"))
+        .join(F.broadcast(kb), "canonical_lower", "left")
+        .drop("canonical_lower")
+        .withColumnRenamed("component_id", "identity_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# end-to-end convenience
+
+
+def resolve_mentions(
+    mentions: DataFrame,
+    min_similarity: float = MIN_SIMILARITY,
+    require_type_match: bool = True,
+    max_bucket_size: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """mentions → (keys_with_components, identities, mention_identity).
+
+    mention_identity maps every mention back to its identity with one
+    hash join on the surface key — the only touch of the full mention
+    table after extraction.
+
+    ``keys`` and ``components`` are materialized once (localCheckpoint)
+    before fan-out: both are consumed by three downstream branches, and
+    they are tiny relative to the corpus (distinct surfaces ≪ mentions).
+    On a real cluster these become snapshot tables (SnapshotStore).
+    """
+    keys = surface_keys(mentions).localCheckpoint()
+    bands = band_table(keys)
+    pairs = candidate_pairs(bands, max_bucket_size=max_bucket_size)
+    edges = score_pairs(pairs, min_similarity, require_type_match)
+    comps = connected_components(keys, edges).localCheckpoint()
+    idents = identities_table(keys, comps)
+    keyed = keys.join(comps, "key_id").select(
+        "surface", "entity_type", F.col("component_id").alias("identity_id")
+    )
+    mention_identity = mentions.withColumn(
+        "surface", F.lower(F.col("text"))
+    ).join(keyed, ["surface", "entity_type"])
+    return keys.join(comps, "key_id"), idents, mention_identity

@@ -1,0 +1,95 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, fingerprinting, language-ID.
+
+Everything except language-ID is pure JVM expression (whole-stage
+codegen; no Python in the hot path). Language-ID reuses the T3
+pandas UDF (anno_spark.core.textops.detect_language).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace tokens (str.split() semantics: unicode ws, no empties)."""
+    arr = F.split(F.trim(col), r"(?U)\s+")
+    return F.size(F.filter(arr, lambda w: w != F.lit("")))
+
+
+def line_count(col: Column) -> Column:
+    return F.size(F.split(col, "\n"))
+
+
+def char_class_ratio(col: Column, pattern: str) -> Column:
+    """Fraction of characters matching the regex char class."""
+    n = F.length(col)
+    kept = F.length(F.regexp_replace(col, pattern, ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - kept).cast("double") / n.cast("double")
+    )
+
+
+def normalized_fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-collapsed lowercased text."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(col), r"(?U)\s+", " ")))
+
+
+def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document size/quality profile (all codegen'd expressions)."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        line_count(t).alias("n_lines"),
+        F.round(char_class_ratio(t, "[a-zA-Z]"), 6).alias("alpha_ratio"),
+        F.round(char_class_ratio(t, "[0-9]"), 6).alias("digit_ratio"),
+        F.round(char_class_ratio(t, r"[.,;:!?'\"]"), 6).alias("punct_ratio"),
+        normalized_fingerprint(t).alias("fingerprint"),
+    )
+
+
+# A small English stopword list for the quality score (public knowledge).
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it that this for on "
+    "with as at by from"
+).split()
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: token-length sanity + alpha ratio
+    + stopword presence (C4-style quality signals, computed JVM-side)."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.lower(F.trim(t)), r"(?U)\s+"), lambda w: w != F.lit(""))
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    mean_tok_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
+        / n_tokens.cast("double")
+    )
+    len_ok = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), 1.0).otherwise(0.0)
+    alpha = char_class_ratio(t, "[a-zA-Z]")
+    stop_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        F.least(n_stop.cast("double") / F.lit(5.0), F.lit(1.0))
+    )
+    score = F.round((len_ok + alpha + stop_ratio) / F.lit(3.0), 6)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_signal"),
+        score.alias("quality_score"),
+    )
+
+
+def detect_languages(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """T3 language-ID over arbitrary documents (pandas UDF)."""
+    from .extract import detect_lang_udf
+
+    return docs.select(
+        "doc_id", detect_lang_udf()(F.col(text_col)).alias("detected_lang")
+    )

@@ -1,0 +1,78 @@
+"""Replicates the driver's correctness gate locally: every `queries()`
+entry with an `oracle_sql()` twin must match DuckDB row-for-row
+(order-insensitive, column names matched). Rows-only queries must run
+and return a stable schema.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def _rowset(rows):
+    return sorted(tuple(_normalize(v) for v in r) for r in rows)
+
+
+ORACLED = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_match(spark, sf_dir, duck, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, sf_dir)
+    cols = sorted(sdf.columns)
+    spark_rows = [tuple(r[c] for c in cols) for r in sdf.collect()]
+
+    odf = duck.execute(entry_mod.oracle_sql()[name]).df()
+    assert sorted(odf.columns.tolist()) == cols, (
+        f"{name}: column mismatch {sorted(odf.columns.tolist())} vs {cols}"
+    )
+    duck_rows = [tuple(row[c] for c in cols) for _, row in odf.iterrows()]
+
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count"
+    got, want = _rowset(spark_rows), _rowset(duck_rows)
+    mism = [(g, w) for g, w in zip(got, want) if g != w][:5]
+    assert got == want, f"{name}: first mismatches {mism}"
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    oracled = set(ORACLED)
+    for name, q in entry_mod.queries().items():
+        if name in oracled:
+            continue
+        df = q(spark, sf_dir)
+        assert df.columns, name
+        assert df.count() >= 0, name
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "pred" in df.columns
