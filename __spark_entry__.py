@@ -114,6 +114,50 @@ def q_kg_extraction_metrics(spark, sf_dir):
     return ex.extraction_metrics(_extracted(spark, sf_dir))
 
 
+def q_kg_events(spark, sf_dir):
+    from anno_spark.operators.events import events_table
+
+    return events_table(_pages(spark, sf_dir))
+
+
+def q_kg_cooccurrence(spark, sf_dir):
+    from anno_spark.operators import extract as ex
+    from anno_spark.operators.graph import cooccurrence_edges
+
+    mentions = ex.mentions_table(_extracted(spark, sf_dir))
+    return cooccurrence_edges(mentions, max_distance=100)
+
+
+def q_kg_communities(spark, sf_dir):
+    from anno_spark.operators import extract as ex
+    from anno_spark.operators import graph as g
+    from anno_spark.operators import resolve as rx
+    from anno_spark.operators.communities import label_propagation
+
+    extracted = _extracted(spark, sf_dir)
+    mentions = ex.mentions_table(extracted)
+    triples = ex.triples_table(extracted)
+    keyed, idents, _ = rx.resolve_mentions(mentions)
+    nodes = g.nodes_table(idents)
+    edges = g.edges_table(
+        triples,
+        keyed.selectExpr("surface", "entity_type", "component_id as identity_id"),
+        nodes,
+    )
+    return label_propagation(nodes.select("node_id"), edges)
+
+
+def q_kg_entity_links(spark, sf_dir):
+    from anno_spark.operators import extract as ex
+    from anno_spark.operators import linking
+    from anno_spark.operators import resolve as rx
+
+    mentions = ex.mentions_table(_extracted(spark, sf_dir))
+    keys = rx.surface_keys(mentions)
+    idx = linking.build_kb_index(spark, linking.demo_kb(spark))
+    return linking.link_surfaces(keys, idx)
+
+
 # ===========================================================================
 # Oracle-checked NER pattern queries (probe text derived identically in SQL)
 # ===========================================================================
@@ -375,6 +419,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
         "kg_extraction_metrics": q_kg_extraction_metrics,
+        "kg_cooccurrence": q_kg_cooccurrence,
+        "kg_events": q_kg_events,
+        "kg_entity_links": q_kg_entity_links,
+        "kg_communities": q_kg_communities,
         # NER pattern extraction (oracled per-pattern)
         "ner_emails": _pattern_query("EMAIL"),
         "ner_iso_dates": _pattern_query("DATE_ISO"),

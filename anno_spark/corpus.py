@@ -95,6 +95,32 @@ def _variant(doc_id: int, salt: int, pool):
     return _pick(doc_id, salt + 101, variants)
 
 
+# Scale-proportional entity diversity: one synthetic organization per
+# ~40 docs (with alias variants), so the distinct-surface population —
+# and therefore the LSH/CC workload — grows with corpus size the way a
+# real web crawl's does instead of staying a fixed 50-surface vocabulary.
+_ORG_STEMS = ("Vertex", "Quantum", "Stellar", "Nimbus", "Aurora", "Zenith", "Orion", "Helix")
+
+
+def _base26(n: int) -> str:
+    out = []
+    while True:
+        out.append(chr(ord("a") + n % 26))
+        n //= 26
+        if n == 0:
+            return "".join(reversed(out))
+
+
+def synthetic_org(doc_id: int) -> str:
+    bucket = doc_id // 40
+    stem = _ORG_STEMS[fnv1a_seeded(str(bucket).encode(), 31) % len(_ORG_STEMS)]
+    name = f"{stem}{_base26(bucket)}"
+    # alias variants of one identity; "X Corp" ⊂ "X Corporation" gives the
+    # 0.8 substring-containment edge (similarity.rs:37-92) that links them
+    v = fnv1a_seeded(str(doc_id).encode(), 32) % 2
+    return f"{name} Corp." if v == 0 else f"{name} Corporation"
+
+
 def page_body(doc_id: int) -> str:
     """Deterministic sentence body for one page."""
     category = _CATEGORIES[doc_id % len(_CATEGORIES)]
@@ -117,6 +143,7 @@ def page_body(doc_id: int) -> str:
             parts.append(_pick(doc_id, 12, _COREF_SENTENCES))
         if fnv1a_seeded(str(doc_id).encode(), 13) % 4 == 0:
             parts.append(_pick(doc_id, 14, _NOISE_SENTENCES))
+        parts.append(f"Analysts at {synthetic_org(doc_id)} released a report.")
     return " ".join(parts)
 
 

@@ -88,25 +88,38 @@ def doc_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def minhash_candidate_pairs(sigs: DataFrame, max_bucket_size: int | None = 1000) -> DataFrame:
     """LSH band join → candidate (doc_a, doc_b) pairs with estimated
-    Jaccard = fraction of agreeing signature rows (JVM zip_with)."""
+    Jaccard = fraction of agreeing signature rows (JVM zip_with).
+
+    The self-join shuffles ONLY (band, band_hash, doc_id) — a candidate
+    pair appears once per shared band, so dragging the 32-element
+    signature arrays through the pre-dedup blowup multiplies shuffle
+    bytes ~50×. Signatures are re-attached after `dropDuplicates` via
+    two joins against the compact signature table.
+    """
+    sigs = sigs.localCheckpoint()
     bands = sigs.select(
-        "doc_id", "signature", F.posexplode("band_hashes").alias("band", "band_hash")
+        "doc_id", F.posexplode("band_hashes").alias("band", "band_hash")
     )
     if max_bucket_size is not None:
         sizes = bands.groupBy("band", "band_hash").agg(F.count("*").alias("n"))
         bands = bands.join(
             sizes.where(F.col("n") <= max_bucket_size), ["band", "band_hash"]
         ).drop("n")
-    left = bands.select(
-        "band", "band_hash", F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")
-    )
-    right = bands.select(
-        "band", "band_hash", F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")
-    )
+    left = bands.select("band", "band_hash", F.col("doc_id").alias("doc_a"))
+    right = bands.select("band", "band_hash", F.col("doc_id").alias("doc_b"))
     pairs = (
         left.join(right, ["band", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sig_only = sigs.select("doc_id", "signature")
+    pairs = pairs.join(
+        sig_only.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("signature", "sig_a"),
+        "doc_a",
+    ).join(
+        sig_only.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("signature", "sig_b"),
+        "doc_b",
     )
     agree = F.size(
         F.filter(
@@ -125,18 +138,47 @@ def minhash_near_duplicates(
     docs: DataFrame, threshold: float = 0.8, text_col: str = "text"
 ) -> DataFrame:
     """→ (cluster_id, doc_id): connected components over pairs with
-    estimated Jaccard ≥ threshold. Singletons omitted."""
-    sigs = doc_signatures(docs, text_col)
-    pairs = minhash_candidate_pairs(sigs).where(F.col("est_jaccard") >= threshold)
-    edges = pairs.select(F.col("doc_a").alias("key_a"), F.col("doc_b").alias("key_b"))
-    nodes = (
-        edges.select(F.col("key_a").alias("key_id"))
-        .union(edges.select("key_b"))
-        .distinct()
+    estimated Jaccard ≥ threshold. Singletons omitted.
+
+    Scale trick (same as the CDCR resolver's distinct-surface graph):
+    docs with IDENTICAL signatures always share every band bucket and
+    estimate Jaccard 1.0, so they are interchangeable in the cluster
+    graph. Collapse to one representative per distinct signature, run
+    the pair generation + CC on representatives, then fan the component
+    ids back out with one join. On corpora with heavy duplication this
+    shrinks the quadratic stage by orders of magnitude.
+    """
+    sigs = doc_signatures(docs, text_col).withColumn(
+        "sig_id", F.xxhash64(F.col("signature"))
+    ).localCheckpoint()
+    reps = (
+        sigs.groupBy("sig_id")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("signature").alias("signature"),
+            F.first("band_hashes").alias("band_hashes"),
+        )
+        .select("sig_id", "doc_id", "signature", "band_hashes")
     )
-    comps = connected_components(nodes, edges)
-    return comps.select(
-        F.col("component_id").alias("cluster_id"), F.col("key_id").alias("doc_id")
+    pairs = minhash_candidate_pairs(reps.drop("sig_id")).where(
+        F.col("est_jaccard") >= threshold
+    )
+    rep_edges = pairs.select(F.col("doc_a").alias("key_a"), F.col("doc_b").alias("key_b"))
+    rep_nodes = reps.select(F.col("doc_id").alias("key_id"))
+    comps = connected_components(rep_nodes, rep_edges)
+    # doc → its signature's representative → component; signature groups
+    # with >1 doc are clusters even when the representative has no edge
+    rep_comp = reps.select(F.col("doc_id").alias("rep_doc"), "sig_id").join(
+        comps.withColumnRenamed("key_id", "rep_doc"), "rep_doc"
+    )
+    all_docs = sigs.select("doc_id", "sig_id").join(rep_comp, "sig_id")
+    clustered = all_docs.select(
+        F.col("component_id").alias("cluster_id"), "doc_id"
+    )
+    sizes = clustered.groupBy("cluster_id").agg(F.count("*").alias("n"))
+    return (
+        clustered.join(sizes.where(F.col("n") > 1), "cluster_id")
+        .select("cluster_id", "doc_id")
     )
 
 

@@ -1,0 +1,112 @@
+"""S5 — graph export renderers (SURVEY §2.1).
+
+Mirrors the reference's GraphDocument exports: Cypher MERGE statements
+(anno-core/src/graph.rs:386-421), NetworkX node-link JSON
+(graph.rs:434-497), and JSON-LD (graph.rs:501-573). These are driver-side
+renders intended for small filtered subgraphs (the reference renders a
+whole in-memory GraphDocument; at lake scale you filter/limit first —
+the functions accept DataFrames and a row cap to make the collect
+explicit and bounded).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+DEFAULT_CAP = 100_000
+
+
+def _collect(df: DataFrame, cap: int):
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"export exceeds cap={cap} rows; filter the graph first"
+        )
+    return rows
+
+
+def _cypher_escape(s: str) -> str:
+    return str(s).replace("\\", "\\\\").replace("'", "\\'")
+
+
+def to_cypher(nodes: DataFrame, edges: DataFrame, cap: int = DEFAULT_CAP) -> str:
+    """MERGE-based Cypher script (graph.rs:386-421 shape)."""
+    lines = []
+    for n in _collect(nodes, cap):
+        label = str(n["node_type"] or "Entity").replace(" ", "_")
+        lines.append(
+            f"MERGE (n:{label} {{id: '{_cypher_escape(n['node_id'])}'}}) "
+            f"SET n.name = '{_cypher_escape(n['name'])}', "
+            f"n.mentions_count = {int(n['n_mentions'])};"
+        )
+    for e in _collect(edges, cap):
+        rel = str(e["relation"]).upper().replace(" ", "_")
+        lines.append(
+            f"MATCH (a {{id: '{_cypher_escape(e['src_node'])}'}}), "
+            f"(b {{id: '{_cypher_escape(e['dst_node'])}'}}) "
+            f"MERGE (a)-[r:{rel}]->(b) SET r.confidence = {float(e['confidence'])};"
+        )
+    return "\n".join(lines)
+
+
+def to_networkx_json(nodes: DataFrame, edges: DataFrame, cap: int = DEFAULT_CAP) -> str:
+    """NetworkX node-link JSON (graph.rs:434-497 shape)."""
+    payload = {
+        "directed": True,
+        "multigraph": False,
+        "graph": {},
+        "nodes": [
+            {
+                "id": n["node_id"],
+                "name": n["name"],
+                "node_type": n["node_type"],
+                "mentions_count": int(n["n_mentions"]),
+            }
+            for n in _collect(nodes, cap)
+        ],
+        "links": [
+            {
+                "source": e["src_node"],
+                "target": e["dst_node"],
+                "relation": e["relation"],
+                "confidence": float(e["confidence"]),
+            }
+            for e in _collect(edges, cap)
+        ],
+    }
+    return json.dumps(payload, sort_keys=True)
+
+
+def to_jsonld(nodes: DataFrame, edges: DataFrame, cap: int = DEFAULT_CAP) -> str:
+    """JSON-LD graph document (graph.rs:501-573 shape)."""
+    graph = [
+        {
+            "@id": f"entity:{n['node_id']}",
+            "@type": n["node_type"],
+            "name": n["name"],
+            "mentionsCount": int(n["n_mentions"]),
+        }
+        for n in _collect(nodes, cap)
+    ]
+    for e in _collect(edges, cap):
+        graph.append(
+            {
+                "@id": f"relation:{e['src_node']}:{e['relation']}:{e['dst_node']}",
+                "@type": "Relation",
+                "subject": f"entity:{e['src_node']}",
+                "predicate": e["relation"],
+                "object": f"entity:{e['dst_node']}",
+                "confidence": float(e["confidence"]),
+            }
+        )
+    doc = {
+        "@context": {
+            "name": "http://schema.org/name",
+            "entity": "http://example.org/entity/",
+            "relation": "http://example.org/relation/",
+        },
+        "@graph": graph,
+    }
+    return json.dumps(doc, sort_keys=True)

@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 MENTION_STRUCT = (
     "mention_idx int, text string, entity_type string, start int, end int, "
-    "confidence double, pattern string, source string"
+    "confidence double, pattern string, source string, "
+    "negated boolean, quantifier string"
 )
 TRIPLE_STRUCT = (
     "subj_text string, subj_type string, subj_start int, subj_end int, "
@@ -98,12 +99,14 @@ def detect_lang_udf():
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from anno_spark.core.annotations import detect_quantifier, is_negated
     from anno_spark.core.document import extract_document
 
     for pdf in batches:
         rows = []
         for url, text in zip(pdf["url"], pdf["text"]):
-            ext = extract_document(text or "")
+            text = text or ""
+            ext = extract_document(text)
             rows.append(
                 {
                     "url": url,
@@ -117,6 +120,8 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                             "confidence": m.confidence,
                             "pattern": m.pattern,
                             "source": m.source,
+                            "negated": is_negated(text, m.start),
+                            "quantifier": detect_quantifier(text, m.start),
                         }
                         for i, m in enumerate(ext.mentions)
                     ],
@@ -171,6 +176,32 @@ def extract_documents(pages: DataFrame, text_col: str = "text") -> DataFrame:
     """
     src = pages.select("url", F.col(text_col).alias("text"))
     return src.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+
+
+def _gen_extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from anno_spark.corpus import page_record
+
+    for pdf in batches:
+        inner = pd.DataFrame(
+            {
+                "url": [],
+                "text": [],
+            }
+        )
+        recs = [page_record(int(i)) for i in pdf["id"]]
+        inner = pd.DataFrame(
+            {"url": [r["url"] for r in recs], "text": [r["text"] for r in recs]}
+        )
+        yield from _extract_batches(iter([inner]))
+
+
+def extract_synthetic_documents(spark, n: int, partitions: int) -> DataFrame:
+    """Fused corpus-synthesis + extraction in ONE python stage: chaining
+    two mapInPandas doubles the python-worker count per task slot (each
+    task pipes JVM→py→JVM→py), which oversubscribes CPUs at high
+    parallelism and ships html/text across Arrow twice for nothing."""
+    ids = spark.range(0, n, 1, numPartitions=partitions)
+    return ids.mapInPandas(_gen_extract_batches, schema=EXTRACTED_SCHEMA)
 
 
 # --------------------------------------------------------------------------

@@ -107,3 +107,52 @@ def edges_table(triples: DataFrame, keyed_surfaces: DataFrame, nodes: DataFrame)
             F.max("confidence").alias("confidence"),
         )
     )
+
+
+def cooccurrence_edges(mentions: DataFrame, max_distance: int = 100) -> DataFrame:
+    """R3 — co-occurrence fallback edges (graph.rs:320-382): every entity
+    pair within ``max_distance`` chars in the same doc → RELATED_TO edge
+    with the pair distance; no self-pairs.
+
+    Relational form: a url-equi self-join with a range predicate — the
+    shuffle key is the doc, so the join stays doc-local (each url's
+    mentions co-locate in one partition; the quadratic term is bounded by
+    mentions-per-doc, which extraction already caps at 512).
+    """
+    m = mentions.select("url", "mention_idx", "text", "entity_type", "start", "end")
+    a = m.select(
+        "url",
+        F.col("mention_idx").alias("idx_a"),
+        F.col("text").alias("text_a"),
+        F.col("entity_type").alias("type_a"),
+        F.col("start").alias("start_a"),
+        F.col("end").alias("end_a"),
+    )
+    b = m.select(
+        "url",
+        F.col("mention_idx").alias("idx_b"),
+        F.col("text").alias("text_b"),
+        F.col("entity_type").alias("type_b"),
+        F.col("start").alias("start_b"),
+        F.col("end").alias("end_b"),
+    )
+    # span gap; 0 when spans overlap (relations.py cooccurrence_edges,
+    # mirroring graph.rs:320-382)
+    dist = (
+        F.when(F.col("start_b") >= F.col("end_a"), F.col("start_b") - F.col("end_a"))
+        .when(F.col("start_a") >= F.col("end_b"), F.col("start_a") - F.col("end_b"))
+        .otherwise(F.lit(0))
+    )
+    return (
+        a.join(b, "url")
+        .where((F.col("idx_a") < F.col("idx_b")) & (dist <= max_distance))
+        .select(
+            "url",
+            "text_a",
+            "type_a",
+            "text_b",
+            "type_b",
+            F.lit("RELATED_TO").alias("relation"),
+            dist.alias("distance"),
+        )
+    )

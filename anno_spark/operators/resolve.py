@@ -50,16 +50,24 @@ def surface_keys(mentions: DataFrame) -> DataFrame:
     surface = lower(text); key_id = xxhash64(surface, entity_type)
     (content-derived: stable across runs and cluster sizes, SURVEY §7.4).
     """
-    return (
+    # two-step aggregation instead of countDistinct: the expand-based
+    # distinct doubles the shuffled row count on the full mention table;
+    # aggregating (surface, type, url) first shrinks the second shuffle
+    # to the per-doc-distinct size
+    per_doc = (
         mentions.select(
             F.lower(F.col("text")).alias("surface"),
             "entity_type",
             "url",
         )
-        .groupBy("surface", "entity_type")
+        .groupBy("surface", "entity_type", "url")
+        .agg(F.count("*").alias("n_in_doc"))
+    )
+    return (
+        per_doc.groupBy("surface", "entity_type")
         .agg(
-            F.count("*").alias("n_mentions"),
-            F.countDistinct("url").alias("n_docs"),
+            F.sum("n_in_doc").alias("n_mentions"),
+            F.count("*").alias("n_docs"),
         )
         .withColumn("key_id", F.xxhash64("surface", "entity_type"))
     )
@@ -88,16 +96,15 @@ def _band_hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 
 def band_table(keys: DataFrame) -> DataFrame:
-    """keys → (key_id, surface, entity_type, band, band_hash), one row per
-    LSH band (5 bands × 3 rows, cdcr.rs:288-296)."""
+    """keys → (key_id, band, band_hash), one row per LSH band
+    (5 bands × 3 rows, cdcr.rs:288-296). Compact on purpose: the join
+    shuffles nothing but ids and hashes."""
     sigs = keys.select("key_id", "surface", "entity_type").mapInPandas(
         _band_hash_batches,
         schema="key_id bigint, surface string, entity_type string, band_hashes array<bigint>",
     )
     return sigs.select(
         "key_id",
-        "surface",
-        "entity_type",
         F.posexplode("band_hashes").alias("band", "band_hash"),
     )
 
@@ -107,9 +114,22 @@ def band_table(keys: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(
-    bands: DataFrame, max_bucket_size: int | None = None
+    bands: DataFrame,
+    keys: DataFrame,
+    max_bucket_size: int | None = None,
+    broadcast_max_keys: int = 1_000_000,
 ) -> DataFrame:
-    """Self-join on (band, band_hash) → distinct key pairs (a < b).
+    """Self-join on (band, band_hash) → distinct key pairs (a < b), with
+    surfaces/types re-attached AFTER dedup (the pre-dedup blowup carries
+    only ids and hashes through the shuffle).
+
+    Join strategy: checkpointed inputs hide size stats from Catalyst, so
+    when the distinct-key count fits comfortably in a broadcast
+    (≤ ``broadcast_max_keys``) the right side and the attribute
+    dimension get explicit broadcast hints — measured 6× over the
+    sort-merge plan at 2·10⁴ keys / 10⁸ joined rows. Beyond the
+    threshold (true web scale, ~10⁸ surfaces) it falls back to the
+    shuffled join and AQE's skew splitting.
 
     ``max_bucket_size`` caps pathological buckets (the "the company"
     stop-surface problem, SURVEY §7.5): buckets larger than the cap are
@@ -117,34 +137,65 @@ def candidate_pairs(
     10⁵ distinct surfaces contributes 10¹⁰ pairs and is always a
     stop-surface artifact. None = exact reference parity.
     """
+    bands = bands.localCheckpoint()  # consumed twice by the self-join
+    small = keys.limit(broadcast_max_keys + 1).count() <= broadcast_max_keys
+    maybe_broadcast = F.broadcast if small else (lambda df: df)
     if max_bucket_size is not None:
         sizes = bands.groupBy("band", "band_hash").agg(
             F.count("*").alias("bucket_n")
         )
         bands = bands.join(
-            sizes.where(F.col("bucket_n") <= max_bucket_size),
+            maybe_broadcast(sizes.where(F.col("bucket_n") <= max_bucket_size)),
             ["band", "band_hash"],
         ).drop("bucket_n")
-    left = bands.select(
-        "band",
-        "band_hash",
-        F.col("key_id").alias("key_a"),
-        F.col("surface").alias("surface_a"),
-        F.col("entity_type").alias("type_a"),
+    # spread the probe side: AQE coalesces the small band table into a
+    # handful of partitions, but the join EXPLODES output ~10²–10³× (hot
+    # buckets), so the probe side must be pre-spread or the explosion
+    # runs on 2-4 tasks. Round-robin keeps hot buckets balanced.
+    par = bands.sparkSession.sparkContext.defaultParallelism
+    left = bands.select("band", "band_hash", F.col("key_id").alias("key_a"))
+    if small:
+        left = left.repartition(max(par * 4, 64))
+    right = bands.select("band", "band_hash", F.col("key_id").alias("key_b"))
+    pairs = (
+        left.join(maybe_broadcast(right), ["band", "band_hash"])
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .dropDuplicates(["key_a", "key_b"])
     )
-    right = bands.select(
-        "band",
-        "band_hash",
-        F.col("key_id").alias("key_b"),
-        F.col("surface").alias("surface_b"),
-        F.col("entity_type").alias("type_b"),
+    # attach surfaces + PRECOMPUTED word sets: the scoring pass over the
+    # (huge, mostly-rejected) pair table then allocates one array per
+    # pair (the intersect) instead of re-splitting both surfaces — the
+    # difference between GC-bound and CPU-bound at 10⁷ candidate pairs
+    attrs = keys.select(
+        "key_id",
+        "surface",
+        "entity_type",
+        _word_set(F.col("surface")).alias("words"),
+    ).withColumn("n_words", F.size("words"))
+    return pairs.join(
+        maybe_broadcast(
+            attrs.select(
+                F.col("key_id").alias("key_a"),
+                F.col("surface").alias("surface_a"),
+                F.col("entity_type").alias("type_a"),
+                F.col("words").alias("words_a"),
+                F.col("n_words").alias("nw_a"),
+            )
+        ),
+        "key_a",
+    ).join(
+        maybe_broadcast(
+            attrs.select(
+                F.col("key_id").alias("key_b"),
+                F.col("surface").alias("surface_b"),
+                F.col("entity_type").alias("type_b"),
+                F.col("words").alias("words_b"),
+                F.col("n_words").alias("nw_b"),
+            )
+        ),
+        "key_b",
     )
-    pairs = left.join(right, ["band", "band_hash"]).where(
-        F.col("key_a") < F.col("key_b")
-    )
-    return pairs.select(
-        "key_a", "surface_a", "type_a", "key_b", "surface_b", "type_b"
-    ).dropDuplicates(["key_a", "key_b"])
 
 
 # --------------------------------------------------------------------------
@@ -182,11 +233,33 @@ def score_pairs(
     min_similarity: float = MIN_SIMILARITY,
     require_type_match: bool = True,
 ) -> DataFrame:
-    """should_cluster (cdcr.rs:539-548) → surviving alias edges."""
-    scored = pairs.withColumn(
-        "similarity",
-        string_similarity_expr(F.col("surface_a"), F.col("surface_b")),
-    )
+    """should_cluster (cdcr.rs:539-548) → surviving alias edges.
+
+    Uses the precomputed word sets from :func:`candidate_pairs` when
+    available (one array allocation per pair); falls back to the
+    self-contained expression otherwise.
+    """
+    if "words_a" in pairs.columns:
+        a, b = F.col("surface_a"), F.col("surface_b")
+        ni = F.size(F.array_intersect("words_a", "words_b"))
+        union = F.col("nw_a") + F.col("nw_b") - ni
+        jacc = F.when(union == 0, F.lit(0.0)).otherwise(
+            ni.cast("double") / union.cast("double")
+        )
+        sim = (
+            F.when((a == "") & (b == ""), F.lit(1.0))
+            .when((a == "") | (b == ""), F.lit(0.0))
+            .when(a == b, F.lit(1.0))
+            .when(F.instr(a, b) > 0, F.lit(0.8))
+            .when(F.instr(b, a) > 0, F.lit(0.8))
+            .otherwise(jacc)
+        )
+        scored = pairs.withColumn("similarity", sim)
+    else:
+        scored = pairs.withColumn(
+            "similarity",
+            string_similarity_expr(F.col("surface_a"), F.col("surface_b")),
+        )
     if require_type_match:
         scored = scored.where(F.col("type_a") == F.col("type_b"))
     return scored.where(F.col("similarity") >= F.lit(min_similarity)).select(
@@ -205,12 +278,16 @@ def connected_components(
 ) -> DataFrame:
     """→ (key_id, component_id) where component_id = min key_id reachable.
 
-    Min-label propagation: each iteration every node adopts the minimum
-    label among itself and its neighbors; converges in O(component
-    diameter) rounds — alias-cluster diameters are tiny (name variants),
-    so this beats large-star/small-star's extra shuffles here. Each
-    iteration localCheckpoints to truncate lineage (SURVEY §4 #2).
+    Min-label propagation with pointer jumping: each round a node adopts
+    the minimum label among itself and its neighbors (edge step), then
+    labels chase their own label's label (label-compression step, the
+    union-find path-halving analogue) — convergence in O(log diameter)
+    rounds instead of O(diameter). One localCheckpoint per round
+    truncates lineage (SURVEY §4 #2).
     """
+    # materialize edges first: symmetrization reads them twice, and the
+    # edge lineage typically contains the expensive LSH join + scoring
+    edges = edges.localCheckpoint()
     sym = (
         edges.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
         .union(
@@ -230,18 +307,34 @@ def connected_components(
             .groupBy("key_id")
             .agg(F.min("component_id").alias("nbr_min"))
         )
-        # one job: materialize (new label, changed flag) per node; the
-        # change probe then reads the checkpointed result for free
+        stepped = labels.join(neighbor_min, "key_id", "left").select(
+            "key_id",
+            F.least(
+                F.col("component_id"),
+                F.coalesce(F.col("nbr_min"), F.col("component_id")),
+            ).alias("component_id"),
+            F.col("component_id").alias("prev_component_id"),
+        )
+        # pointer jumping: component_id := label(component_id)
+        parent = stepped.select(
+            F.col("key_id").alias("component_id"),
+            F.col("component_id").alias("jumped"),
+        )
         updated = (
-            labels.join(neighbor_min, "key_id", "left")
+            stepped.join(parent, "component_id", "left")
             .select(
                 "key_id",
                 F.least(
                     F.col("component_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("component_id")),
+                    F.coalesce(F.col("jumped"), F.col("component_id")),
                 ).alias("component_id"),
-                (F.coalesce(F.col("nbr_min"), F.col("component_id"))
-                 < F.col("component_id")).alias("changed"),
+                (
+                    F.least(
+                        F.col("component_id"),
+                        F.coalesce(F.col("jumped"), F.col("component_id")),
+                    )
+                    != F.col("prev_component_id")
+                ).alias("changed"),
             )
             .localCheckpoint()
         )
@@ -313,7 +406,7 @@ def resolve_mentions(
     """
     keys = surface_keys(mentions).localCheckpoint()
     bands = band_table(keys)
-    pairs = candidate_pairs(bands, max_bucket_size=max_bucket_size)
+    pairs = candidate_pairs(bands, keys, max_bucket_size=max_bucket_size)
     edges = score_pairs(pairs, min_similarity, require_type_match)
     comps = connected_components(keys, edges).localCheckpoint()
     idents = identities_table(keys, comps)

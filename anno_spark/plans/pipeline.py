@@ -104,9 +104,9 @@ def run(
         return res
 
     def compute_components():
-        keys = rx.surface_keys(mentions)
+        keys = rx.surface_keys(mentions).localCheckpoint()
         bands = rx.band_table(keys)
-        pairs = rx.candidate_pairs(bands, max_bucket_size=max_bucket_size)
+        pairs = rx.candidate_pairs(bands, keys, max_bucket_size=max_bucket_size)
         edges = rx.score_pairs(pairs, min_similarity, require_type_match)
         comps = rx.connected_components(keys, edges)
         return keys.join(comps, "key_id")

@@ -1,0 +1,71 @@
+"""Tests for L1/L2 label-propagation communities and C4 union-find coref."""
+
+from __future__ import annotations
+
+from anno_spark.core.coref_unionfind import resolve_coreferences_unionfind
+from anno_spark.core.entity import Mention
+
+
+def _m(text, etype, start):
+    return Mention(text, etype, start, start + len(text), 0.8, "t", "test")
+
+
+class TestCorefUnionFind:
+    def test_string_match_clusters(self):
+        ms = [
+            _m("Marie Curie", "PER", 0),
+            _m("Curie", "PER", 40),
+            _m("Apple", "ORG", 80),
+        ]
+        out = resolve_coreferences_unionfind(ms)
+        assert len(out) == 1
+        assert out[0].members == [0, 1]
+        assert out[0].canonical_name == "Marie Curie"
+
+    def test_type_mismatch_blocks(self):
+        ms = [_m("Washington", "PER", 0), _m("Washington", "LOC", 40)]
+        assert resolve_coreferences_unionfind(ms) == []
+
+    def test_embedding_path(self):
+        ms = [_m("the company", "ORG", 0), _m("that firm", "ORG", 30)]
+        emb = [[1.0, 0.0], [0.99, 0.14]]
+        out = resolve_coreferences_unionfind(ms, embeddings=emb)
+        assert len(out) == 1 and out[0].members == [0, 1]
+
+    def test_distance_gate(self):
+        ms = [_m("the company", "ORG", 0), _m("that firm", "ORG", 900)]
+        emb = [[1.0, 0.0], [1.0, 0.0]]
+        assert resolve_coreferences_unionfind(ms, embeddings=emb) == []
+
+    def test_representative_last_longest(self):
+        ms = [_m("Acme", "ORG", 0), _m("ACME", "ORG", 20)]
+        out = resolve_coreferences_unionfind(ms)
+        assert out[0].representative == 1  # tie → last (Rust max_by_key)
+
+
+class TestLabelPropagation:
+    def test_two_cliques(self, spark):
+        from anno_spark.operators.communities import label_propagation
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")],
+            "src_node string, dst_node string",
+        )
+        nodes = spark.createDataFrame(
+            [(v,) for v in "abcxyz"], "node_id string"
+        )
+        comm = {r["node_id"]: r["community_id"] for r in label_propagation(nodes, edges).collect()}
+        assert comm["a"] == comm["b"] == comm["c"]
+        assert comm["x"] == comm["y"] == comm["z"]
+
+    def test_hierarchy_runs(self, spark):
+        from anno_spark.operators.communities import hierarchical_communities
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y"), ("c", "x")],
+            "src_node string, dst_node string",
+        )
+        nodes = spark.createDataFrame([(v,) for v in "abcxy"], "node_id string")
+        out = hierarchical_communities(nodes, edges, levels=2)
+        assert out.count() == 5
+        assert "level_0" in out.columns

@@ -1,0 +1,207 @@
+"""Tests for the eval (E2 strict P/R), streaming, exports, and linking
+modules."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from anno_spark.eval import relation_prf
+from anno_spark.operators import extract as ex
+from anno_spark.sources.pages import synthesize_pages
+
+TRIPLE_DDL = (
+    "url string, subj_start int, subj_end int, obj_start int, obj_end int, pred string"
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, TRIPLE_DDL)
+
+
+class TestRelationEval:
+    def test_perfect_match(self, spark):
+        g = _mk(spark, [("u1", 0, 5, 10, 15, "CEO_OF"), ("u2", 1, 2, 3, 4, "WORKS_FOR")])
+        prf = relation_prf(g, g)
+        assert prf.precision == prf.recall == prf.f1 == 1.0
+
+    def test_case_insensitive_pred(self, spark):
+        g = _mk(spark, [("u1", 0, 5, 10, 15, "CEO_OF")])
+        p = _mk(spark, [("u1", 0, 5, 10, 15, "ceo_of")])
+        assert relation_prf(p, g).f1 == 1.0
+
+    def test_span_mismatch_fails_strict(self, spark):
+        g = _mk(spark, [("u1", 0, 5, 10, 15, "CEO_OF")])
+        p = _mk(spark, [("u1", 0, 6, 10, 15, "CEO_OF")])  # off-by-one head
+        prf = relation_prf(p, g)
+        assert prf.precision == 0.0 and prf.recall == 0.0
+
+    def test_greedy_one_to_one(self, spark):
+        # two identical predictions, one gold: only one matches
+        g = _mk(spark, [("u1", 0, 5, 10, 15, "X")])
+        p = _mk(spark, [("u1", 0, 5, 10, 15, "X"), ("u1", 0, 5, 10, 15, "X")])
+        prf = relation_prf(p, g)
+        assert prf.n_matched == 1 and prf.precision == 0.5 and prf.recall == 1.0
+
+    def test_pipeline_pr_gate_on_held_out(self, spark):
+        """The ≥0.95 gate (BASELINE.json): Spark pipeline triples vs the
+        pure-Python oracle on the held-out split — must be exactly 1.0."""
+        from anno_spark.core.document import extract_document
+        from anno_spark import corpus
+
+        n = 120
+        pages = synthesize_pages(spark, n)
+        pred = ex.triples_table(ex.extract_documents(pages)).where(
+            F.xxhash64("url") % 5 == 0  # any deterministic subset works
+        )
+        gold_rows = []
+        for i in range(n):
+            rec = corpus.page_record(i)
+            for t in extract_document(rec["text"]).triples:
+                gold_rows.append(
+                    (rec["url"], t.subj_start, t.subj_end, t.obj_start, t.obj_end, t.pred)
+                )
+        gold = spark.createDataFrame(gold_rows, TRIPLE_DDL).where(
+            F.xxhash64("url") % 5 == 0
+        )
+        prf = relation_prf(pred, gold)
+        assert prf.n_gold > 0
+        assert prf.precision == 1.0 and prf.recall == 1.0
+
+
+class TestStreaming:
+    def test_streaming_triples_match_batch(self, spark, tmp_path):
+        from anno_spark.streaming import ingest
+
+        pages = synthesize_pages(spark, 40)
+        src = str(tmp_path / "pages_stream")
+        pages.repartition(4).write.parquet(src)
+
+        stream = ingest.stream_pages_from_parquet(spark, src, max_files_per_trigger=2)
+        triples_stream = ingest.streaming_triples(stream)
+        ingest.run_to_memory_sink(triples_stream, "t_stream")
+        got = {
+            (r["url"], r["subj_start"], r["pred"], r["obj_start"])
+            for r in spark.sql("select * from t_stream").collect()
+        }
+        want = {
+            (r["url"], r["subj_start"], r["pred"], r["obj_start"])
+            for r in ex.triples_table(ex.extract_documents(pages)).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_streaming_event_counts(self, spark, sf_dir, tmp_path):
+        from anno_spark.streaming import ingest
+
+        events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        src = str(tmp_path / "events_stream")
+        events.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(ingest.EVENTS_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = ingest.streaming_event_counts(stream)
+        ingest.run_to_memory_sink(agg, "e_counts", output_mode="complete")
+        got = {
+            (r["hour_start"], r["event_type"]): r["n_events"]
+            for r in spark.sql("select * from e_counts").collect()
+        }
+        want = {
+            (r["hour_start"], r["event_type"]): r["n_events"]
+            for r in events.groupBy(
+                F.window("ts", "1 hour").start.alias("hour_start"), "event_type"
+            )
+            .agg(F.count("*").alias("n_events"))
+            .collect()
+        }
+        assert got == want
+
+
+class TestExports:
+    @pytest.fixture(scope="class")
+    def graph(self, spark):
+        from anno_spark.operators import graph as g
+        from anno_spark.operators import resolve as rx
+
+        extracted = ex.extract_documents(synthesize_pages(spark, 60))
+        mentions = ex.mentions_table(extracted)
+        triples = ex.triples_table(extracted)
+        keyed, idents, _ = rx.resolve_mentions(mentions)
+        nodes = g.nodes_table(idents)
+        edges = g.edges_table(
+            triples,
+            keyed.selectExpr("surface", "entity_type", "component_id as identity_id"),
+            nodes,
+        )
+        return nodes.localCheckpoint(), edges.localCheckpoint()
+
+    def test_cypher(self, graph):
+        from anno_spark.operators.exports import to_cypher
+
+        nodes, edges = graph
+        script = to_cypher(nodes, edges)
+        assert script.count("MERGE (n:") == nodes.count()
+        assert "SET r.confidence" in script
+
+    def test_networkx_json(self, graph):
+        from anno_spark.operators.exports import to_networkx_json
+
+        nodes, edges = graph
+        payload = json.loads(to_networkx_json(nodes, edges))
+        assert len(payload["nodes"]) == nodes.count()
+        assert len(payload["links"]) == edges.count()
+        node_ids = {n["id"] for n in payload["nodes"]}
+        assert all(l["source"] in node_ids for l in payload["links"])
+
+    def test_jsonld(self, graph):
+        from anno_spark.operators.exports import to_jsonld
+
+        nodes, edges = graph
+        doc = json.loads(to_jsonld(nodes, edges))
+        assert "@context" in doc
+        assert len(doc["@graph"]) == nodes.count() + edges.count()
+
+    def test_cap_enforced(self, graph):
+        from anno_spark.operators.exports import to_cypher
+
+        nodes, edges = graph
+        with pytest.raises(ValueError):
+            to_cypher(nodes, edges, cap=1)
+
+
+class TestLinking:
+    def test_links_known_entities(self, spark):
+        from anno_spark.operators import linking
+
+        kb = linking.demo_kb(spark)
+        idx = linking.build_kb_index(spark, kb)
+        surfaces = spark.createDataFrame(
+            [
+                ("marie curie", "PER", 10),
+                ("curie", "PER", 3),
+                ("apple", "ORG", 20),
+                ("completely unrelated xyz", "ORG", 1),
+            ],
+            "surface string, entity_type string, n_mentions bigint",
+        ).withColumn("key_id", F.xxhash64("surface", "entity_type"))
+        links = linking.link_surfaces(surfaces, idx).collect()
+        by_surface = {r["surface"]: r for r in links}
+        assert by_surface["marie curie"]["kb_id"] == "Q7186"
+        assert by_surface["apple"]["kb_id"] == "Q312"
+        assert "completely unrelated xyz" not in by_surface
+
+    def test_tfidf_prefers_exact_alias(self, spark):
+        from anno_spark.operators import linking
+
+        kb = linking.demo_kb(spark)
+        idx = linking.build_kb_index(spark, kb)
+        surfaces = spark.createDataFrame(
+            [("berlin", "LOC", 5)],
+            "surface string, entity_type string, n_mentions bigint",
+        ).withColumn("key_id", F.xxhash64("surface", "entity_type"))
+        links = linking.link_surfaces(surfaces, idx).collect()
+        assert len(links) == 1 and links[0]["kb_id"] == "Q64"

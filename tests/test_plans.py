@@ -1,0 +1,92 @@
+"""Physical-plan quality gates: these assert the plans Catalyst produces
+are the plans we designed for at 100 TB — filters reach the parquet
+scan, scans are column-pruned, small dimensions broadcast. A regression
+here is a 100× cost bug at scale even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestPushdownAndPruning:
+    def test_lineitem_filter_pushed_to_scan(self, spark, sf_dir):
+        df = entry_mod.q_rel_agg_lineitem(spark, sf_dir)
+        plan = _plan(df)
+        assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+    def test_doc_stats_scan_pruned(self, spark, sf_dir):
+        df = entry_mod.q_doc_stats(spark, sf_dir)
+        plan = _plan(df)
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "text" in read_schema and "doc_id" in read_schema
+        assert "source" not in read_schema and "lang" not in read_schema
+
+    def test_extraction_reads_only_url_and_text(self, spark, sf_dir):
+        # pages_from_documents only needs doc_id from the parquet scan
+        from anno_spark.sources.pages import pages_from_documents
+
+        df = pages_from_documents(spark, sf_dir)
+        plan = _plan(df)
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "doc_id" in read_schema and "text" not in read_schema
+
+
+class TestJoinStrategies:
+    def test_region_sales_uses_broadcast_join(self, spark, sf_dir):
+        plan = _plan(entry_mod.q_rel_broadcast_region_sales(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+
+    def test_ann_topk_broadcasts_query_side(self, spark, sf_dir):
+        plan = _plan(entry_mod.q_ann_cosine_topk(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_anti_join_planned_as_join_not_subquery_loop(self, spark, sf_dir):
+        plan = _plan(entry_mod.q_rel_anti_join(spark, sf_dir))
+        assert "LeftAnti" in plan
+
+    def test_kg_edges_uses_broadcast_for_dims(self, spark):
+        from anno_spark.operators import extract as ex
+        from anno_spark.operators import graph as g
+        from anno_spark.operators import resolve as rx
+        from anno_spark.sources.pages import synthesize_pages
+
+        extracted = ex.extract_documents(synthesize_pages(spark, 30)).localCheckpoint()
+        mentions = ex.mentions_table(extracted)
+        triples = ex.triples_table(extracted)
+        keyed, idents, _ = rx.resolve_mentions(mentions)
+        nodes = g.nodes_table(idents)
+        edges = g.edges_table(
+            triples,
+            keyed.selectExpr("surface", "entity_type", "component_id as identity_id"),
+            nodes,
+        )
+        assert "BroadcastHashJoin" in _plan(edges)
+
+
+class TestAggregationShape:
+    def test_partial_aggregation_before_shuffle(self, spark, sf_dir):
+        # map-side combine: HashAggregate appears both before and after
+        # the exchange for the lineitem rollup
+        plan = _plan(entry_mod.q_rel_agg_lineitem(spark, sf_dir))
+        assert plan.count("HashAggregate") >= 2
+        assert "Exchange" in plan
+
+    def test_whole_stage_codegen_in_relational_path(self, spark, sf_dir):
+        # AQE prints the final (codegen'd) plan only after execution
+        df = entry_mod.q_rel_join_topcustomers(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "isFinalPlan=true" in plan
+        assert "WholeStageCodegen" in plan or "*(" in plan

@@ -136,6 +136,36 @@ def test_edges_reference_existing_nodes(result):
         assert e["src_node"] in nodes and e["dst_node"] in nodes
 
 
+def test_cooccurrence_matches_oracle(result):
+    from anno_spark.operators.graph import cooccurrence_edges
+    from anno_spark.core.relations import cooccurrence_edges as oracle_edges
+
+    got = {}
+    for r in cooccurrence_edges(result.tables["mentions"], 100).collect():
+        got.setdefault(r["url"], set()).add(
+            (r["text_a"], r["text_b"], r["distance"])
+        )
+    for url, text in oracle_docs().items():
+        ments = extract_document(text).mentions
+        want = {
+            (ments[i].text, ments[j].text, d)
+            for i, j, _, d in oracle_edges(ments, 100)
+        }
+        assert got.get(url, set()) == want, url
+
+
+def test_negation_quantifier_columns(result):
+    from anno_spark.core.annotations import detect_quantifier, is_negated
+
+    rows = result.tables["mentions"].collect()
+    texts = oracle_docs()
+    assert any(r["quantifier"] is not None for r in rows)
+    for r in rows[:200]:
+        t = texts[r["url"]]
+        assert r["negated"] == is_negated(t, r["start"])
+        assert r["quantifier"] == detect_quantifier(t, r["start"])
+
+
 # --------------------------------------------------------------------------
 # snapshot resume
 
