@@ -3,13 +3,22 @@
 `entry(spark)` — flagship KG-construction run (pages → triples) on
 sf0.001. `queries()` — one entry per implemented operator family
 (SURVEY.md §2 + the training-data ops). `oracle_sql()` — DuckDB
-equivalents for every SQL-expressible query; KG-pipeline queries whose
-semantics are non-SQL (NER/coref/CDCR UDF payloads) are rows-only
-checked, but their correctness is pinned by the pytest parity suite
-(tests/test_spark_pipeline.py) against the pure-Python oracle.
+equivalents for every query whose logic is SQL-expressible.
+
+Oracle scheme (round 2): extraction is a pandas UDF (non-SQL), but
+everything downstream is relational. Each KG/dedup/linking query
+therefore (a) materializes the intermediates its oracle needs to parquet
+under ``.oracle/<sf>/`` (plans/materialize.py), (b) computes its result
+in Spark FROM those tables, and (c) the DuckDB oracle RE-DERIVES the
+result from the same parquet with independent SQL — recursive-CTE
+connected components, window ranking, band self-joins, TF-IDF in SQL
+(plans/oracles.py). Extraction itself is pinned by the pytest parity
+suite vs the pure-Python reference port (tests/test_spark_pipeline.py).
 
 Column-name discipline: every computed column is aliased identically in
-the Spark code and the SQL string.
+the Spark code and the SQL string. Every output column is SCALAR (the
+driver canonicalizer cannot sort array cells — r01 lesson): arrays are
+serialized with deterministic joins (aliases → '|', signal_ids → ',').
 """
 
 from __future__ import annotations
@@ -21,6 +30,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SF0001 = "/root/testdata/sf0.001"
+# The driver's correctness harness runs at sf0.01; the env override lets the
+# local checker (scripts/check_correctness.py) exercise the same oracle SQL
+# at other scales.
+SF001 = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+ENTITY_LABEL_FILTER = ("PER", "ORG", "LOC")
+TOP_CLUSTER_MIN_MENTIONS = 2
+TOP_CLUSTER_LIMIT = 20
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -39,7 +56,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ===========================================================================
-# KG pipeline queries (pages synthesized deterministically from doc_ids)
+# materialized intermediates (shared across the KG queries; one extraction
+# pass per process — VERDICT r01 fix #3)
 # ===========================================================================
 
 
@@ -49,113 +67,210 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages_from_documents(spark, sf_dir)
 
 
-def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ext(spark, sf_dir) -> DataFrame:
+    """The nested extraction table, materialized once per process."""
     from anno_spark.operators import extract as ex
+    from anno_spark.plans.materialize import materialize
 
-    return ex.extract_documents(_pages(spark, sf_dir))
+    return materialize(
+        ex.extract_documents(_pages(spark, sf_dir)), sf_dir, "kg_extracted"
+    )
+
+
+def _mentions(spark, sf_dir) -> DataFrame:
+    """Exploded mentions + warc_ts (for first_seen), materialized."""
+    from anno_spark.operators import extract as ex
+    from anno_spark.plans.materialize import materialize
+
+    m = ex.mentions_table(_ext(spark, sf_dir))
+    ts = _pages(spark, sf_dir).select("url", "warc_ts")
+    return materialize(m.join(ts, "url"), sf_dir, "kg_mentions")
+
+
+def _triples(spark, sf_dir) -> DataFrame:
+    from anno_spark.operators import extract as ex
+    from anno_spark.plans.materialize import materialize
+
+    return materialize(ex.triples_table(_ext(spark, sf_dir)), sf_dir, "kg_triples")
+
+
+def _keys(spark, sf_dir) -> DataFrame:
+    from anno_spark.operators import resolve as rx
+    from anno_spark.plans.materialize import materialize
+
+    return materialize(rx.surface_keys(_mentions(spark, sf_dir)), sf_dir, "kg_keys")
+
+
+def _cdcr_edges(spark, sf_dir) -> DataFrame:
+    from anno_spark.operators import resolve as rx
+    from anno_spark.plans.materialize import materialize
+
+    keys = _keys(spark, sf_dir)
+    pairs = rx.candidate_pairs(rx.band_table(keys), keys)
+    return materialize(rx.score_pairs(pairs), sf_dir, "kg_cdcr_edges")
+
+
+def _comps(spark, sf_dir) -> DataFrame:
+    """Connected components, computed ONCE per process and cached as a
+    Spark-side parquet (five queries consume it). The oracles never read
+    this table — they re-derive CC from kg_keys + kg_cdcr_edges with a
+    recursive CTE, so the cache cannot mask a CC bug."""
+    from anno_spark.operators import resolve as rx
+    from anno_spark.plans.materialize import materialize
+
+    return materialize(
+        rx.connected_components(_keys(spark, sf_dir), _cdcr_edges(spark, sf_dir)),
+        sf_dir,
+        "kg_components",
+    )
+
+
+def _idents(spark, sf_dir) -> DataFrame:
+    from anno_spark.operators import resolve as rx
+
+    return rx.identities_table(_keys(spark, sf_dir), _comps(spark, sf_dir))
+
+
+def _keyed_surfaces(spark, sf_dir) -> DataFrame:
+    return _keys(spark, sf_dir).join(_comps(spark, sf_dir), "key_id").select(
+        "surface", "entity_type", F.col("component_id").alias("identity_id")
+    )
+
+
+_MENTION_COLS = [
+    "url", "mention_idx", "text", "entity_type", "start", "end",
+    "confidence", "pattern", "source", "negated", "quantifier",
+]
+
+
+# ===========================================================================
+# KG pipeline queries
+# ===========================================================================
 
 
 def q_kg_mentions(spark, sf_dir):
-    from anno_spark.operators import extract as ex
+    return _mentions(spark, sf_dir).select(*_MENTION_COLS)
 
-    return ex.mentions_table(_extracted(spark, sf_dir))
+
+def q_ner_label_filter(spark, sf_dir):
+    from anno_spark.operators.extract import filter_mentions_by_label
+
+    return filter_mentions_by_label(
+        _mentions(spark, sf_dir), ENTITY_LABEL_FILTER
+    ).select(*_MENTION_COLS)
 
 
 def q_kg_triples(spark, sf_dir):
-    from anno_spark.operators import extract as ex
-
-    return ex.triples_table(_extracted(spark, sf_dir))
+    return _triples(spark, sf_dir)
 
 
 def q_kg_tracks(spark, sf_dir):
+    t = _ext(spark, sf_dir).select("url", F.explode("tracks").alias("t")).select(
+        "url", "t.*"
+    )
+    return t.select(
+        "url",
+        "track_id",
+        "canonical_surface",
+        "entity_type",
+        F.concat_ws(
+            ",", F.transform("signal_ids", lambda x: x.cast("string"))
+        ).alias("signal_ids_csv"),
+        F.size("signal_ids").alias("n_signals"),
+    )
+
+
+def q_kg_events(spark, sf_dir):
     from anno_spark.operators import extract as ex
 
-    return ex.tracks_table(_extracted(spark, sf_dir))
+    return ex.events_table(_ext(spark, sf_dir))
+
+
+def _scalarized_identities(idents: DataFrame) -> DataFrame:
+    return idents.withColumn("aliases", F.array_join("aliases", "|"))
 
 
 def q_kg_identities(spark, sf_dir):
-    from anno_spark.operators import extract as ex
-    from anno_spark.operators import resolve as rx
-
-    mentions = ex.mentions_table(_extracted(spark, sf_dir))
-    _, idents, _ = rx.resolve_mentions(mentions)
-    return idents
+    return _scalarized_identities(_idents(spark, sf_dir)).select(
+        "identity_id", "canonical_name", "entity_type", "n_mentions", "n_docs",
+        "n_surfaces", "aliases", "kb_id", "kb_description", "first_seen",
+    )
 
 
 def q_kg_nodes(spark, sf_dir):
-    from anno_spark.operators import extract as ex
     from anno_spark.operators import graph as g
+
+    nodes = g.nodes_table(_idents(spark, sf_dir))
+    return nodes.withColumn("aliases", F.array_join("aliases", "|"))
+
+
+def q_kg_top_clusters(spark, sf_dir):
     from anno_spark.operators import resolve as rx
 
-    mentions = ex.mentions_table(_extracted(spark, sf_dir))
-    _, idents, _ = rx.resolve_mentions(mentions)
-    return g.nodes_table(idents)
+    top = rx.top_clusters(
+        _idents(spark, sf_dir),
+        min_mentions=TOP_CLUSTER_MIN_MENTIONS,
+        limit=TOP_CLUSTER_LIMIT,
+    )
+    return _scalarized_identities(top).select(
+        "identity_id", "canonical_name", "entity_type", "n_mentions", "n_docs",
+        "n_surfaces", "aliases", "kb_id",
+    )
 
 
 def q_kg_edges(spark, sf_dir):
-    from anno_spark.operators import extract as ex
     from anno_spark.operators import graph as g
-    from anno_spark.operators import resolve as rx
 
-    extracted = _extracted(spark, sf_dir)
-    mentions = ex.mentions_table(extracted)
-    triples = ex.triples_table(extracted)
-    keyed, idents, _ = rx.resolve_mentions(mentions)
-    nodes = g.nodes_table(idents)
-    keyed_surfaces = keyed.select(
-        "surface", "entity_type", F.col("component_id").alias("identity_id")
+    nodes = g.nodes_table(_idents(spark, sf_dir))
+    return g.edges_table(
+        _triples(spark, sf_dir), _keyed_surfaces(spark, sf_dir), nodes
     )
-    return g.edges_table(triples, keyed_surfaces, nodes)
 
 
 def q_kg_extraction_metrics(spark, sf_dir):
     from anno_spark.operators import extract as ex
+    from anno_spark.plans.materialize import materialize
 
-    return ex.extraction_metrics(_extracted(spark, sf_dir))
-
-
-def q_kg_events(spark, sf_dir):
-    from anno_spark.operators.events import events_table
-
-    return events_table(_pages(spark, sf_dir))
+    stats = materialize(
+        ex.sharded_page_stats(_ext(spark, sf_dir)), sf_dir, "kg_page_stats"
+    )
+    return ex.metrics_from_stats(stats)
 
 
 def q_kg_cooccurrence(spark, sf_dir):
-    from anno_spark.operators import extract as ex
     from anno_spark.operators.graph import cooccurrence_edges
 
-    mentions = ex.mentions_table(_extracted(spark, sf_dir))
-    return cooccurrence_edges(mentions, max_distance=100)
+    return cooccurrence_edges(_mentions(spark, sf_dir), max_distance=100)
 
 
 def q_kg_communities(spark, sf_dir):
-    from anno_spark.operators import extract as ex
     from anno_spark.operators import graph as g
-    from anno_spark.operators import resolve as rx
-    from anno_spark.operators.communities import label_propagation
+    from anno_spark.operators.communities import leiden_communities
 
-    extracted = _extracted(spark, sf_dir)
-    mentions = ex.mentions_table(extracted)
-    triples = ex.triples_table(extracted)
-    keyed, idents, _ = rx.resolve_mentions(mentions)
-    nodes = g.nodes_table(idents)
+    nodes = g.nodes_table(_idents(spark, sf_dir))
     edges = g.edges_table(
-        triples,
-        keyed.selectExpr("surface", "entity_type", "component_id as identity_id"),
-        nodes,
+        _triples(spark, sf_dir), _keyed_surfaces(spark, sf_dir), nodes
     )
-    return label_propagation(nodes.select("node_id"), edges)
+    return leiden_communities(
+        nodes.select("node_id"), edges, resolution=1.0, weight_col="confidence"
+    )
 
 
 def q_kg_entity_links(spark, sf_dir):
-    from anno_spark.operators import extract as ex
     from anno_spark.operators import linking
-    from anno_spark.operators import resolve as rx
+    from anno_spark.plans.materialize import materialize
 
-    mentions = ex.mentions_table(_extracted(spark, sf_dir))
-    keys = rx.surface_keys(mentions)
+    keys = _keys(spark, sf_dir)
     idx = linking.build_kb_index(spark, linking.demo_kb(spark))
-    return linking.link_surfaces(keys, idx)
+    materialize(
+        idx["aliases"].select("alias_id", "alias", "kb_id", "description"),
+        sf_dir,
+        "link_kb",
+    )
+    cands = materialize(
+        linking.link_candidates(keys, idx), sf_dir, "link_candidates"
+    )
+    return linking.link_surfaces(keys, idx, candidates=cands)
 
 
 # ===========================================================================
@@ -221,6 +336,46 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def _dd_sigs(spark, sf_dir):
+    from anno_spark.operators.dedup import doc_signatures_with_id
+    from anno_spark.plans.materialize import materialize
+
+    return materialize(
+        doc_signatures_with_id(_t(spark, sf_dir, "documents")), sf_dir, "dd_sigs"
+    )
+
+
+def q_dedup_minhash(spark, sf_dir):
+    from anno_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.8, sigs=_dd_sigs(spark, sf_dir)
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from anno_spark.operators.dedup import simhash_near_duplicates, simhash_table
+    from anno_spark.plans.materialize import materialize
+
+    sh = materialize(
+        simhash_table(_t(spark, sf_dir, "documents")), sf_dir, "dd_simhash"
+    )
+    return simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), max_hamming=3, sh=sh
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from anno_spark.operators.dedup import ngram_jaccard_pairs, shingle_table
+    from anno_spark.plans.materialize import materialize
+
+    docs = _t(spark, sf_dir, "documents")
+    shingles = materialize(shingle_table(docs), sf_dir, "dd_shingles")
+    return ngram_jaccard_pairs(
+        docs, threshold=0.5, sigs=_dd_sigs(spark, sf_dir), shingles=shingles
+    )
+
+
 def q_doc_stats(spark, sf_dir):
     from anno_spark.operators.textstats import doc_stats
 
@@ -256,24 +411,6 @@ def q_lang_detect(spark, sf_dir):
     return detect_languages(_t(spark, sf_dir, "documents"))
 
 
-def q_dedup_minhash(spark, sf_dir):
-    from anno_spark.operators.dedup import minhash_near_duplicates
-
-    return minhash_near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.8)
-
-
-def q_dedup_simhash(spark, sf_dir):
-    from anno_spark.operators.dedup import simhash_near_duplicates
-
-    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
-
-
-def q_dedup_ngram_jaccard(spark, sf_dir):
-    from anno_spark.operators.dedup import ngram_jaccard_pairs
-
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
-
-
 # ===========================================================================
 # Similarity search over embeddings
 # ===========================================================================
@@ -303,14 +440,18 @@ SELECT query_id, neighbor_id, rank, round(csim, 4) AS sim FROM r WHERE rank <= 5
 
 
 # ===========================================================================
-# Multimodal plumbing (self-synthesized media table; rows-only check)
+# Multimodal (real PNG/WAV containers; header-parsing decode)
 # ===========================================================================
 
 
 def q_media_profile(spark, sf_dir):
     from anno_spark.operators.multimodal import extract_features, media_profile, synthesize_media
+    from anno_spark.plans.materialize import materialize
 
-    return media_profile(extract_features(synthesize_media(spark, 300)))
+    feats = materialize(
+        extract_features(synthesize_media(spark, 300)), sf_dir, "media_features"
+    )
+    return media_profile(feats)
 
 
 # ===========================================================================
@@ -411,18 +552,21 @@ def q_events_hourly(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
-        # KG pipeline (pinned by pytest parity vs the pure-Python oracle)
+        # KG pipeline (UDF layer pinned by pytest parity; relational layer
+        # oracle-checked against materialized intermediates)
         "kg_mentions": q_kg_mentions,
+        "ner_label_filter": q_ner_label_filter,
         "kg_triples": q_kg_triples,
         "kg_tracks": q_kg_tracks,
+        "kg_events": q_kg_events,
         "kg_identities": q_kg_identities,
         "kg_nodes": q_kg_nodes,
+        "kg_top_clusters": q_kg_top_clusters,
         "kg_edges": q_kg_edges,
         "kg_extraction_metrics": q_kg_extraction_metrics,
         "kg_cooccurrence": q_kg_cooccurrence,
-        "kg_events": q_kg_events,
-        "kg_entity_links": q_kg_entity_links,
         "kg_communities": q_kg_communities,
+        "kg_entity_links": q_kg_entity_links,
         # NER pattern extraction (oracled per-pattern)
         "ner_emails": _pattern_query("EMAIL"),
         "ner_iso_dates": _pattern_query("DATE_ISO"),
@@ -440,7 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        # multimodal plumbing
+        # multimodal
         "media_profile": q_media_profile,
         # relational layer (SURVEY §2.10)
         "rel_agg_lineitem": q_rel_agg_lineitem,
@@ -456,40 +600,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from anno_spark.functions.patterns import ORACLE_SAFE_PATTERNS
+    from anno_spark.operators.textstats import _STOPWORDS
+    from anno_spark.plans import oracles as O
 
+    sf = SF001  # the driver runs correctness at sf0.01
     return {
+        # KG pipeline
+        "kg_mentions": O.kg_mentions(sf),
+        "ner_label_filter": O.ner_label_filter(sf, ENTITY_LABEL_FILTER),
+        "kg_triples": O.kg_triples(sf),
+        "kg_tracks": O.kg_tracks(sf),
+        "kg_events": O.kg_events(sf),
+        "kg_identities": O.kg_identities(sf),
+        "kg_nodes": O.kg_nodes(sf),
+        "kg_top_clusters": O.kg_top_clusters(
+            sf, TOP_CLUSTER_MIN_MENTIONS, TOP_CLUSTER_LIMIT
+        ),
+        "kg_edges": O.kg_edges(sf),
+        "kg_extraction_metrics": O.kg_extraction_metrics(sf),
+        "kg_cooccurrence": O.kg_cooccurrence(sf, 100),
+        "kg_entity_links": O.kg_entity_links(sf),
+        # kg_communities: iterative modularity optimization — not
+        # SQL-expressible; rows-only (pytest-pinned vs reference semantics)
+        # NER patterns
         "ner_emails": _pattern_oracle(ORACLE_SAFE_PATTERNS["EMAIL"]),
         "ner_iso_dates": _pattern_oracle(ORACLE_SAFE_PATTERNS["DATE_ISO"]),
         "ner_percent": _pattern_oracle(ORACLE_SAFE_PATTERNS["PERCENT"]),
         "ner_money": _pattern_oracle(ORACLE_SAFE_PATTERNS["MONEY_SYMBOL"]),
-        "dedup_exact": """
-            SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+        # dedup
+        "dedup_exact": f"""
+            SELECT md5(lower(regexp_replace(trim(text), '{O.WS}', ' ', 'g'))) AS fingerprint,
                    count(*) AS n_docs, min(doc_id) AS first_doc
             FROM documents GROUP BY 1
         """,
-        "doc_stats": """
+        "dedup_minhash": O.dedup_minhash(sf, 0.8),
+        "dedup_simhash": O.dedup_simhash(sf, 3),
+        "dedup_ngram_jaccard": O.dedup_ngram_jaccard(sf, 0.5),
+        # text stats
+        "doc_stats": f"""
             SELECT doc_id,
                    length(text) AS n_chars,
                    CASE WHEN trim(text) = '' THEN 0
-                        ELSE length(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS n_tokens,
+                        ELSE length(list_filter(regexp_split_to_array(trim(text), '{O.WS}'), x -> x <> '')) END AS n_tokens,
                    length(string_split(text, chr(10))) AS n_lines,
                    round(CASE WHEN length(text) = 0 THEN 0.0
                         ELSE (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) * 1.0 / length(text) END, 6) AS alpha_ratio,
                    round(CASE WHEN length(text) = 0 THEN 0.0
                         ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text) END, 6) AS digit_ratio,
-                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+                   md5(lower(regexp_replace(trim(text), '{O.WS}', ' ', 'g'))) AS fingerprint
             FROM documents
         """,
-        "lang_profile": """
+        "doc_quality": O.doc_quality(_STOPWORDS),
+        "lang_profile": f"""
             WITH t AS (
               SELECT lang, length(text) AS nc,
                      CASE WHEN trim(text) = '' THEN 0
-                          ELSE length(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS nt
+                          ELSE length(list_filter(regexp_split_to_array(trim(text), '{O.WS}'), x -> x <> '')) END AS nt
               FROM documents)
-            SELECT lang, count(*) AS n_docs, sum(nc) AS total_chars, round(avg(nt), 6) AS avg_tokens
+            SELECT lang, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS total_chars, round(avg(nt), 6) AS avg_tokens
             FROM t GROUP BY lang
         """,
+        "lang_detect": O.lang_detect(),
+        # similarity search
         "ann_cosine_topk": ANN_ORACLE,
+        "ann_ivf_topk": O.ann_ivf_topk(SF001),
+        # multimodal
+        "media_profile": O.media_profile(sf),
+        # relational layer
         "rel_agg_lineitem": """
             SELECT l_returnflag, l_linestatus,
                    cast(sum(cast(l_quantity AS decimal(20,2))) AS double) AS sum_qty,
@@ -521,9 +698,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(*) AS n_customers FROM latest WHERE rn = 1
             GROUP BY o_orderpriority
         """,
+        # NOT EXISTS, not NOT IN: left_anti is NULL-safe, NOT IN is not
+        # (ADVICE r01)
         "rel_anti_join": """
-            SELECT c_custkey, c_mktsegment FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         """,
         "rel_distinct": "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
         "events_hourly": """

@@ -46,8 +46,12 @@ def extract_ngrams(text: str, n: int = NGRAM_SIZE) -> list[str]:
 # signature cost from O(len·rows) hashing into dict lookups plus one
 # vectorized column-min. Purely an evaluation cache — results are
 # bit-identical with or without it (verified by the unit suite).
+# Bounded LRU (ADVICE r01): long-lived python workers over a diverse
+# corpus would otherwise grow an unevictable multi-hundred-MB dict. 64k
+# entries (~20 MB) covers the surface-key use case (short repeated keys)
+# where the cache actually pays; doc-granularity grams mostly miss anyway.
 _GRAM_CACHE: dict = {}
-_GRAM_CACHE_MAX = 1_000_000
+_GRAM_CACHE_MAX = 65_536
 
 
 def _gram_hashes(gram: str, total: int):
@@ -58,8 +62,11 @@ def _gram_hashes(gram: str, total: int):
     if hit is None:
         gb = gram.encode("utf-8")
         hit = np.array([fnv1a_seeded(gb, h) for h in range(total)], dtype=np.uint64)
-        if len(_GRAM_CACHE) < _GRAM_CACHE_MAX:
-            _GRAM_CACHE[key] = hit
+        if len(_GRAM_CACHE) >= _GRAM_CACHE_MAX:
+            # evict oldest insertion (dicts preserve insertion order) —
+            # cheap FIFO approximation of LRU, O(1), no extra structure
+            _GRAM_CACHE.pop(next(iter(_GRAM_CACHE)))
+        _GRAM_CACHE[key] = hit
     return hit
 
 

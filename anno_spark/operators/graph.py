@@ -35,8 +35,13 @@ def node_id_expr(kb_id, identity_id, entity_type, name):
 
 def nodes_table(identities: DataFrame) -> DataFrame:
     """identities → nodes(node_id, name, node_type, n_mentions, n_docs,
-    n_surfaces, aliases, kb_id)."""
-    return identities.select(
+    n_surfaces, aliases, kb_id[, first_seen, valid_from, valid_until]).
+
+    Temporal properties (graph.rs:249-290): when the resolver carried a
+    timestamp, nodes get ``first_seen`` (earliest observation) and the
+    validity interval ``valid_from = first_seen`` / ``valid_until = null``
+    (open-ended, graph.rs:264-283)."""
+    cols = [
         node_id_expr(
             F.col("kb_id"),
             F.col("identity_id"),
@@ -46,12 +51,19 @@ def nodes_table(identities: DataFrame) -> DataFrame:
         F.col("identity_id"),
         F.col("canonical_name").alias("name"),
         F.col("entity_type").alias("node_type"),
-        "n_mentions",
-        "n_docs",
-        "n_surfaces",
-        "aliases",
-        "kb_id",
-    )
+        F.col("n_mentions"),
+        F.col("n_docs"),
+        F.col("n_surfaces"),
+        F.col("aliases"),
+        F.col("kb_id"),
+    ]
+    if "first_seen" in identities.columns:
+        cols += [
+            F.col("first_seen"),
+            F.col("first_seen").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_until"),
+        ]
+    return identities.select(*cols)
 
 
 def edges_table(triples: DataFrame, keyed_surfaces: DataFrame, nodes: DataFrame) -> DataFrame:

@@ -75,20 +75,9 @@ def build_kb_index(spark: SparkSession, kb_aliases: DataFrame) -> dict:
     }
 
 
-def link_surfaces(
-    surfaces: DataFrame,
-    kb_index: dict,
-    min_score: float = 0.5,
-    exact_bonus: float = 0.25,
-    type_bonus: float = 0.05,
-) -> DataFrame:
-    """surfaces: (key_id, surface, entity_type, n_mentions) →
-    (key_id, surface, kb_id, link_score) — best KB link per surface.
-
-    Candidates: LSH band join surface↔alias (blocked, broadcast KB).
-    Score: TF-IDF cosine (IDF from the KB corpus) + exact-match bonus +
-    type-agreement bonus; winner per surface by (score desc, kb_id).
-    """
+def link_candidates(surfaces: DataFrame, kb_index: dict) -> DataFrame:
+    """LSH-blocked candidate generation: band join surface↔alias
+    (broadcast KB side) → distinct (key_id, alias_id)."""
     aliases = kb_index["aliases"]
     alias_for_bands = aliases.select(
         F.col("alias_id").alias("key_id"),
@@ -99,11 +88,30 @@ def link_surfaces(
     alias_bands = band_table(alias_for_bands).select(
         F.col("key_id").alias("alias_id"), "band", "band_hash"
     )
-    cands = (
+    return (
         surf_bands.join(F.broadcast(alias_bands), ["band", "band_hash"])
         .select("key_id", "alias_id")
         .dropDuplicates(["key_id", "alias_id"])
     )
+
+
+def link_surfaces(
+    surfaces: DataFrame,
+    kb_index: dict,
+    min_score: float = 0.5,
+    exact_bonus: float = 0.25,
+    type_bonus: float = 0.05,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """surfaces: (key_id, surface, entity_type, n_mentions) →
+    (key_id, surface, kb_id, link_score) — best KB link per surface.
+
+    Candidates: LSH band join surface↔alias (blocked, broadcast KB), or a
+    precomputed (key_id, alias_id) table. Score: TF-IDF cosine (IDF from
+    the KB corpus) + exact-match bonus + type-agreement bonus; winner per
+    surface by (score desc, kb_id).
+    """
+    cands = candidates if candidates is not None else link_candidates(surfaces, kb_index)
 
     # surface-side TF-IDF postings with the KB's IDF table
     tf = _gram_postings(surfaces, "key_id", "surface")

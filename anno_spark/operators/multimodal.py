@@ -1,15 +1,23 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (image/audio libraries are not available in
-this environment): :func:`_decode_stub` derives deterministic fake
-metadata from the bytes. The Spark-side contract — schema, batch shape,
-partition-size control, UDF signature — is real and tested; swapping the
-stub for PIL/libsndfile is a one-function change inside the UDF.
+Round-2 upgrade (VERDICT r01 fix #6): the payloads are now REAL media
+containers synthesized deterministically with the stdlib — valid PNG
+files (zlib/struct) and valid WAV files (struct) — and the decode step
+parses the actual container headers (PNG IHDR → true width/height, WAV
+fmt/data chunks → true duration). No imaging library exists in this
+environment, so pixel-level ops stay out of scope; ``video`` payloads
+keep a clearly-marked stub decoder (kind='video' → decoder='stub').
+
+The Spark-side contract — schema, batch shape, partition-size control,
+UDF signature — is unchanged and tested; swapping in PIL/pyav touches
+only the per-kind decode functions.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,8 +34,56 @@ FEATURE_SCHEMA = (
 )
 
 
+# --------------------------------------------------------------------------
+# deterministic REAL payload synthesis (stdlib only)
+
+
+def make_png(width: int, height: int, seed: int) -> bytes:
+    """A valid 8-bit grayscale PNG with deterministic pixel content."""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type None per scanline
+        for x in range(width):
+            raw.append((x * 7 + y * 13 + seed) & 0xFF)
+    idat = zlib.compress(bytes(raw), 6)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_wav(duration_ms: int, seed: int, rate: int = 8000) -> bytes:
+    """A valid 16-bit mono PCM WAV with deterministic samples."""
+    n_frames = rate * duration_ms // 1000
+    samples = bytearray()
+    for i in range(n_frames):
+        v = ((i * (31 + seed % 17)) % 65536) - 32768
+        samples += struct.pack("<h", v)
+    data = bytes(samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def synthesize_media(spark, n: int, partitions: int = 8) -> DataFrame:
-    """Deterministic fake media table (payload = seeded pseudo-bytes)."""
+    """Deterministic media table: real PNGs, real WAVs, opaque video."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from anno_spark.core.minhash import fnv1a_seeded
@@ -38,14 +94,19 @@ def synthesize_media(spark, n: int, partitions: int = 8) -> DataFrame:
             for i in pdf["id"]:
                 i = int(i)
                 kind = kinds[i % 3]
-                h = fnv1a_seeded(str(i).encode(), 7)
-                payload = h.to_bytes(8, "little") * (4 + i % 8)
+                if kind == "image":
+                    payload = make_png(8 + i % 24, 6 + i % 18, i)
+                elif kind == "audio":
+                    payload = make_wav(50 + (i % 20) * 25, i)
+                else:
+                    h = fnv1a_seeded(str(i).encode(), 7)
+                    payload = h.to_bytes(8, "little") * (4 + i % 8)
                 rows.append(
                     {
                         "media_id": i,
                         "kind": kind,
                         "payload": payload,
-                        "meta": {"source": f"synthetic/{i}", "codec": "raw"},
+                        "meta": {"source": f"synthetic/{i}", "codec": kind},
                     }
                 )
             yield pd.DataFrame(rows)
@@ -55,21 +116,70 @@ def synthesize_media(spark, n: int, partitions: int = 8) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# decoders (container-header parsing; stdlib only)
+
+
+def decode_png(payload: bytes) -> dict | None:
+    """True width/height from the IHDR chunk of a PNG byte stream."""
+    if len(payload) < 24 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    if payload[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", payload[16:24])
+    return {"width": width, "height": height, "duration_ms": 0, "decoder": "png-header"}
+
+
+def decode_wav(payload: bytes) -> dict | None:
+    """True duration from the fmt/data chunks of a RIFF/WAVE stream."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, rate, block_align, data_len = 12, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if tag == b"fmt ":
+            _, _, rate, _, block_align, _ = struct.unpack(
+                "<HHIIHH", payload[pos + 8 : pos + 24]
+            )
+        elif tag == b"data":
+            data_len = size
+        pos += 8 + size + (size & 1)
+    if not rate or not block_align or data_len is None:
+        return None
+    duration_ms = int(data_len / block_align / rate * 1000)
+    return {"width": 0, "height": 0, "duration_ms": duration_ms, "decoder": "wav-header"}
+
+
 def _decode_stub(kind: str, payload: bytes) -> dict:
-    """Deterministic fake decode. Replace with PIL / soundfile / pyav in a
-    real deployment — everything around this function stays unchanged."""
+    """STUB for codecs with no stdlib parser (video): deterministic fake
+    metadata derived from the bytes. Replace with pyav in a real deploy."""
     from anno_spark.core.minhash import fnv1a_seeded
 
     h = fnv1a_seeded(payload, 3)
+    return {
+        "width": 320 + h % 1280,
+        "height": 240 + (h >> 8) % 720,
+        "duration_ms": 1000 + h % 120000,
+        "decoder": "stub",
+    }
+
+
+def decode_media(kind: str, payload: bytes) -> dict:
     if kind == "image":
-        return {"width": 64 + h % 512, "height": 64 + (h >> 16) % 512, "duration_ms": 0}
+        meta = decode_png(payload)
+        if meta:
+            return meta
     if kind == "audio":
-        return {"width": 0, "height": 0, "duration_ms": 1000 + h % 60000}
-    return {"width": 320 + h % 1280, "height": 240 + (h >> 8) % 720, "duration_ms": 1000 + h % 120000}
+        meta = decode_wav(payload)
+        if meta:
+            return meta
+    return _decode_stub(kind, payload)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """media → per-item decoded metadata + an 8-dim feature vector.
+    """media → per-item decoded metadata + an 8-dim byte-statistics
+    feature vector (real content statistics, computed vectorized).
 
     Real contract: Arrow batches of (media_id, kind, payload) flow into
     the Python worker; the UDF never materializes more than one batch
@@ -79,16 +189,23 @@ def extract_features(media: DataFrame) -> DataFrame:
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from anno_spark.core.minhash import fnv1a_seeded
+        import numpy as np
 
         for pdf in batches:
             rows = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 payload = bytes(payload)
-                meta = _decode_stub(kind, payload)
+                meta = decode_media(kind, payload)
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                # 8 real byte-level statistics as the placeholder feature
+                # (a real deployment swaps in an embedding model here)
+                hist, _ = np.histogram(b, bins=4, range=(0, 256))
                 feat = [
-                    ((fnv1a_seeded(payload, 100 + d) % 10_000) / 10_000.0)
-                    for d in range(8)
+                    float(b.mean() / 255.0),
+                    float(b.std() / 255.0),
+                    float(b.min() / 255.0),
+                    float(b.max() / 255.0),
+                    *[float(h) / len(b) for h in hist],
                 ]
                 rows.append(
                     {
@@ -99,7 +216,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                         "height": meta["height"],
                         "duration_ms": meta["duration_ms"],
                         "feature": feat,
-                        "decoder": "stub",
+                        "decoder": meta["decoder"],
                     }
                 )
             yield pd.DataFrame(rows)

@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from anno_spark.plans.iterloop import iter_checkpoint
+
 MIN_SIMILARITY = 0.5  # cdcr.rs:433-442 default
 
 
@@ -54,20 +56,27 @@ def surface_keys(mentions: DataFrame) -> DataFrame:
     # distinct doubles the shuffled row count on the full mention table;
     # aggregating (surface, type, url) first shrinks the second shuffle
     # to the per-doc-distinct size
+    has_ts = "warc_ts" in mentions.columns
+    cols = [
+        F.lower(F.col("text")).alias("surface"),
+        F.col("entity_type"),
+        F.col("url"),
+    ] + ([F.col("warc_ts")] if has_ts else [])
     per_doc = (
-        mentions.select(
-            F.lower(F.col("text")).alias("surface"),
-            "entity_type",
-            "url",
-        )
+        mentions.select(*cols)
         .groupBy("surface", "entity_type", "url")
-        .agg(F.count("*").alias("n_in_doc"))
+        .agg(
+            F.count("*").alias("n_in_doc"),
+            *([F.min("warc_ts").alias("doc_ts")] if has_ts else []),
+        )
     )
     return (
         per_doc.groupBy("surface", "entity_type")
         .agg(
             F.sum("n_in_doc").alias("n_mentions"),
             F.count("*").alias("n_docs"),
+            # G2 temporal property (graph.rs:249-290): earliest observation
+            *([F.min("doc_ts").alias("first_seen")] if has_ts else []),
         )
         .withColumn("key_id", F.xxhash64("surface", "entity_type"))
     )
@@ -296,11 +305,24 @@ def connected_components(
         .dropDuplicates(["src", "dst"])
         .localCheckpoint()
     )
-    labels = nodes.select(
-        F.col("key_id"), F.col("key_id").alias("component_id")
-    ).localCheckpoint()
+    # seed labels with min(self, neighbors) — one aggregation that saves a
+    # full propagation round (most components converge a round earlier)
+    nbr0 = sym.groupBy(F.col("src").alias("key_id")).agg(
+        F.min("dst").alias("nbr_min")
+    )
+    labels = (
+        nodes.select("key_id")
+        .join(nbr0, "key_id", "left")
+        .select(
+            "key_id",
+            F.least(
+                F.col("key_id"), F.coalesce("nbr_min", F.col("key_id"))
+            ).alias("component_id"),
+        )
+        .localCheckpoint()
+    )
 
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["src"] == labels["key_id"])
             .select(F.col("dst").alias("key_id"), "component_id")
@@ -336,9 +358,12 @@ def connected_components(
                     != F.col("prev_component_id")
                 ).alias("changed"),
             )
-            .localCheckpoint()
         )
+        updated = iter_checkpoint(updated)
         labels = updated.select("key_id", "component_id")
+        # `updated` was just localCheckpointed, so the convergence probe
+        # scans cached partitions (~0.1s) — far cheaper than one wasted
+        # propagation round; probe every round and break ASAP
         if len(updated.where("changed").take(1)) == 0:
             break
     return labels
@@ -358,17 +383,19 @@ def identities_table(
     from anno_spark.core.document import KNOWN_KB_ENTITIES
 
     keyed = keys.join(components, "key_id")
+    # tiebreak struct carries entity_type as the last key: the same surface
+    # can occur under two types with equal counts, and max_by over a
+    # 2-field struct would pick between them nondeterministically
+    pick = F.struct(F.col("n_mentions"), F.col("surface"), F.col("entity_type"))
+    has_ts = "first_seen" in keys.columns
     idents = keyed.groupBy("component_id").agg(
-        F.max_by(
-            "surface", F.struct(F.col("n_mentions"), F.col("surface"))
-        ).alias("canonical_name"),
-        F.max_by(
-            "entity_type", F.struct(F.col("n_mentions"), F.col("surface"))
-        ).alias("entity_type"),
+        F.max_by("surface", pick).alias("canonical_name"),
+        F.max_by("entity_type", pick).alias("entity_type"),
         F.sum("n_mentions").alias("n_mentions"),
         F.sum("n_docs").alias("n_docs"),
         F.count("*").alias("n_surfaces"),
         F.sort_array(F.collect_set("surface")).alias("aliases"),
+        *([F.min("first_seen").alias("first_seen")] if has_ts else []),
     )
     spark = keys.sparkSession
     kb = spark.createDataFrame(
@@ -381,6 +408,37 @@ def identities_table(
         .drop("canonical_lower")
         .withColumnRenamed("component_id", "identity_id")
     )
+
+
+def top_clusters(
+    identities: DataFrame,
+    min_mentions: int = 1,
+    min_docs: int = 1,
+    entity_types=None,
+    limit: int | None = 20,
+) -> DataFrame:
+    """X7 — cluster filter / rank / limit (anno-cli crossdoc.rs:489-520):
+    keep identities with ≥ min_mentions mentions and ≥ min_docs docs
+    (optionally restricted to ``entity_types``), ranked by
+    (n_docs, n_mentions, canonical_name) descending — the reference's
+    (doc_count, size, name) desc sort — with a deterministic global limit.
+
+    Scale note: a global top-k orderBy+limit is a TakeOrderedAndProject
+    (per-partition top-k then a k-row merge on the driver) — no full sort
+    shuffle.
+    """
+    out = identities.where(
+        (F.col("n_mentions") >= min_mentions) & (F.col("n_docs") >= min_docs)
+    )
+    if entity_types:
+        out = out.where(F.col("entity_type").isin(list(entity_types)))
+    out = out.orderBy(
+        F.desc("n_docs"),
+        F.desc("n_mentions"),
+        F.desc("canonical_name"),
+        F.asc("identity_id"),
+    )
+    return out.limit(limit) if limit is not None else out
 
 
 # --------------------------------------------------------------------------

@@ -71,22 +71,21 @@ def cosine_topk(
 # IVF approximate path
 
 
-def train_centroids(
-    embeddings: DataFrame,
-    n_centroids: int = 16,
-    sample_n: int = 2048,
-    iters: int = 5,
-    vec_col: str = "embedding",
-) -> np.ndarray:
-    """Deterministic mini k-means on a seeded sample (driver-side numpy).
-    Sample selection is content-deterministic (orderBy vec_id limit n)."""
-    rows = (
-        embeddings.select("vec_id", vec_col)
-        .orderBy("vec_id")
-        .limit(sample_n)
-        .collect()
-    )
-    x = np.array([r[1] for r in rows], dtype=np.float64)
+# Knuth multiplicative hash: scrambles vec_id so the training sample is a
+# deterministic pseudo-random draw instead of the first-N-by-id (which is
+# biased whenever content correlates with id — VERDICT r01 fix #7). The
+# same arithmetic is reproducible as a JVM expression, in numpy, and in
+# SQL, so the oracle path can rebuild identical centroids without Spark.
+_SAMPLE_HASH_MULT = 2654435761
+_SAMPLE_HASH_MOD = 1 << 32
+
+
+def sample_hash_expr(vec_id_col):
+    return F.pmod(vec_id_col * F.lit(_SAMPLE_HASH_MULT), F.lit(_SAMPLE_HASH_MOD))
+
+
+def kmeans_fit(x: np.ndarray, n_centroids: int, iters: int = 5) -> np.ndarray:
+    """Deterministic Lloyd k-means (cosine/IP objective) on a sample."""
     rng = np.random.RandomState(42)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(iters):
@@ -97,6 +96,46 @@ def train_centroids(
             if len(members):
                 cents[c] = members.mean(axis=0)
     return cents
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    sample_n: int = 2048,
+    iters: int = 5,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic mini k-means over a hash-ordered sample: the sample_n
+    vectors with the smallest multiplicative-hash(vec_id) — an unbiased
+    seeded draw that is identical at any parallelism. TakeOrdered, not a
+    full sort: at 10⁹ vectors this collects exactly sample_n rows."""
+    rows = (
+        embeddings.select("vec_id", vec_col)
+        .orderBy(sample_hash_expr(F.col("vec_id")), F.col("vec_id"))
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    return kmeans_fit(x, n_centroids, iters)
+
+
+def train_centroids_local(
+    parquet_path: str,
+    n_centroids: int = 16,
+    sample_n: int = 2048,
+    iters: int = 5,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spark-free replica of :func:`train_centroids` (pyarrow + numpy) —
+    used by the DuckDB oracle to inline identical centroid literals."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=["vec_id", vec_col])
+    ids = t.column("vec_id").to_numpy()
+    h = (ids.astype(np.int64) * _SAMPLE_HASH_MULT) % _SAMPLE_HASH_MOD
+    order = np.lexsort((ids, h))[:sample_n]
+    x = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)[order]
+    return kmeans_fit(x, n_centroids, iters)
 
 
 def _assign_udf(centroids: np.ndarray, nprobe: int = 1):

@@ -12,9 +12,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Engine-independent whitespace class (ADVICE r01): Java's (?U)\s and
+# RE2's \s disagree on Unicode whitespace (NBSP etc.), so the token /
+# fingerprint contract pins an explicit ASCII class both here and in the
+# DuckDB oracles.
+WS_CLASS = r"[ \t\n\r\f\x0B]+"
+
+
 def token_count(col: Column) -> Column:
-    """Whitespace tokens (str.split() semantics: unicode ws, no empties)."""
-    arr = F.split(F.trim(col), r"(?U)\s+")
+    """ASCII-whitespace tokens (explicit class; no empties)."""
+    arr = F.split(F.trim(col), WS_CLASS)
     return F.size(F.filter(arr, lambda w: w != F.lit("")))
 
 
@@ -33,7 +40,7 @@ def char_class_ratio(col: Column, pattern: str) -> Column:
 
 def normalized_fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-collapsed lowercased text."""
-    return F.md5(F.lower(F.regexp_replace(F.trim(col), r"(?U)\s+", " ")))
+    return F.md5(F.lower(F.regexp_replace(F.trim(col), WS_CLASS, " ")))
 
 
 def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -62,7 +69,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality score in [0,1]: token-length sanity + alpha ratio
     + stopword presence (C4-style quality signals, computed JVM-side)."""
     t = F.col(text_col)
-    toks = F.filter(F.split(F.lower(F.trim(t)), r"(?U)\s+"), lambda w: w != F.lit(""))
+    toks = F.filter(F.split(F.lower(F.trim(t)), WS_CLASS), lambda w: w != F.lit(""))
     n_tokens = F.size(toks)
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))

@@ -135,27 +135,57 @@ def run_kg_pipeline_synth(spark, n_pages: int, max_bucket_size: int | None = Non
     n_pages (pure function of doc_id — byte-identical input at any
     parallelism, which makes the two-parallelism comparison exact).
     Corpus synthesis is fused into the extraction UDF (one python stage
-    per task, as when reading a real pages table)."""
+    per task, as when reading a real pages table).
+
+    Returns per-stage wall times (``stage_*`` keys): the scaling report
+    needs them to attribute efficiency loss to the corpus-proportional
+    extraction stage vs the fixed-size-at-local-scale graph stages
+    (VERDICT r01 perf item #8). Stage boundaries are localCheckpoints, so
+    each timing covers exactly its own Spark jobs.
+    """
     from anno_spark.operators import extract as ex
     from anno_spark.operators import graph as g
     from anno_spark.operators import resolve as rx
 
     par = spark.sparkContext.defaultParallelism
+    t0 = time.monotonic()
     extracted = ex.extract_synthetic_documents(
         spark, n_pages, partitions=par * 4
     ).localCheckpoint()
-    mentions = ex.mentions_table(extracted)
-    triples = ex.triples_table(extracted)
     n = extracted.count()
+    t_extract = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    mentions = ex.mentions_table(extracted)
+    triples = ex.triples_table(extracted).localCheckpoint()
     n_triples = triples.count()
+    t_explode = time.monotonic() - t0
+
+    t0 = time.monotonic()
     keyed, idents, _ = rx.resolve_mentions(mentions, max_bucket_size=max_bucket_size)
+    idents = idents.localCheckpoint()
+    keyed = keyed.localCheckpoint()
+    t_resolve = time.monotonic() - t0
+
+    t0 = time.monotonic()
     nodes = g.nodes_table(idents)
     keyed_surfaces = keyed.selectExpr(
         "surface", "entity_type", "component_id as identity_id"
     )
     edges = g.edges_table(triples, keyed_surfaces, nodes)
     n_nodes, n_edges = nodes.count(), edges.count()
-    return {"pages": n, "triples": n_triples, "nodes": n_nodes, "edges": n_edges}
+    t_graph = time.monotonic() - t0
+
+    return {
+        "pages": n,
+        "triples": n_triples,
+        "nodes": n_nodes,
+        "edges": n_edges,
+        "stage_extract": round(t_extract, 3),
+        "stage_explode": round(t_explode, 3),
+        "stage_resolve": round(t_resolve, 3),
+        "stage_graph": round(t_graph, 3),
+    }
 
 
 def scaling() -> None:
@@ -193,13 +223,15 @@ def scaling() -> None:
             "best = None; stats = None; best_ex = None\n"
             "for _ in range(2):\n"
             "    t0 = time.monotonic()\n"
+            "    run_stats = None\n"
             # bucket cap 256 = the production stop-surface lever (SURVEY
             # §7.5): without it LSH candidate pairs grow quadratically in
             # the hot head-surface families and the measurement stops
             # being a throughput benchmark
-            f"    stats = run_kg_pipeline_synth(spark, {n_pages}, max_bucket_size=256)\n"
+            f"    run_stats = run_kg_pipeline_synth(spark, {n_pages}, max_bucket_size=256)\n"
             "    dt = time.monotonic() - t0\n"
-            "    best = dt if best is None or dt < best else best\n"
+            "    if best is None or dt < best:\n"
+            "        best, stats = dt, run_stats\n"
             "for _ in range(2):\n"
             "    t0 = time.monotonic()\n"
             f"    ex.extract_synthetic_documents(spark, {n_pages}, {cpus}*4).count()\n"
@@ -245,6 +277,16 @@ def scaling() -> None:
         f"extract_sec_at_{hi}": round(e_hi, 3),
         f"extract_efficiency_{lo}_to_{hi}": round(e_lo / (ratio * e_hi), 4),
     }
+    # per-stage attribution (VERDICT r01 item #8): which stages scale and
+    # which are fixed-cost at this corpus size
+    for stage in ("extract", "explode", "resolve", "graph"):
+        k = f"stage_{stage}"
+        if k in results[lo] and k in results[hi]:
+            s_lo, s_hi = results[lo][k], results[hi][k]
+            out[f"{k}_sec_at_{lo}"] = s_lo
+            out[f"{k}_sec_at_{hi}"] = s_hi
+            if s_hi > 0:
+                out[f"{k}_efficiency"] = round(s_lo / (ratio * s_hi), 4)
     print(json.dumps(out))
 
 

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness harness.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` string
+on DuckDB (tables pre-registered as views over the testdata parquet),
+canonicalizes both (columns sorted by name, rows sorted by all columns),
+and reports rows/schema/value matches per query. Use before every commit
+that touches queries or oracles:
+
+    python scripts/check_correctness.py [--sf /root/testdata/sf0.01] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _canon(df):
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    # normalize temporal columns to naive datetimes for comparison
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def _values_match(a, b) -> tuple[bool, str]:
+    import numpy as np
+
+    if list(a.columns) != list(b.columns):
+        return False, f"columns {list(a.columns)} vs {list(b.columns)}"
+    if len(a) != len(b):
+        return False, f"rows {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            aa = av.astype(float)
+            bb = bv.astype(float)
+            nan_ok = np.isnan(aa) == np.isnan(bb)
+            eq = (aa == bb) | (np.isnan(aa) & np.isnan(bb))
+            if not (nan_ok.all() and eq.all()):
+                bad = np.where(~eq)[0][:3]
+                return False, f"col {c}: float mismatch at rows {bad.tolist()}: {aa[bad]} vs {bb[bad]}"
+            # flag int-vs-float dtype skew (the driver hashes these apart)
+            if np.issubdtype(av.dtype, np.floating) != np.issubdtype(bv.dtype, np.floating):
+                return False, f"col {c}: dtype skew {av.dtype} vs {bv.dtype}"
+        else:
+            ao = a[c].astype(object).where(a[c].notna(), None)
+            bo = b[c].astype(object).where(b[c].notna(), None)
+            neq = [
+                i for i, (x, y) in enumerate(zip(ao, bo)) if x != y and not (x is None and y is None)
+            ][:3]
+            if neq:
+                return False, (
+                    f"col {c}: mismatch at rows {neq}: "
+                    f"{[ao.iloc[i] for i in neq]} vs {[bo.iloc[i] for i in neq]}"
+                )
+    return True, ""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = args.sf
+
+    import duckdb
+
+    from anno_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(master=f"local[{args.cpus}]", shuffle_partitions=int(args.cpus))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(args.sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qmap = entry_mod.queries()
+    omap = entry_mod.oracle_sql()
+    names = args.queries or list(qmap)
+    results, n_green = {}, 0
+    for name in names:
+        t0 = time.monotonic()
+        rec = {}
+        try:
+            sdf = _canon(qmap[name](spark, args.sf).toPandas())
+            rec["spark_rows"] = len(sdf)
+        except Exception:
+            rec["err"] = "spark: " + traceback.format_exc(limit=3)
+            results[name] = rec
+            print(f"ERR   {name}: spark failed\n{rec['err']}")
+            continue
+        if name not in omap:
+            rec["status"] = "rows_only"
+            results[name] = rec
+            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.monotonic()-t0:.1f}s]")
+            continue
+        try:
+            odf = _canon(con.sql(omap[name]).df())
+            rec["oracle_rows"] = len(odf)
+        except Exception:
+            rec["err"] = "oracle: " + traceback.format_exc(limit=2)
+            results[name] = rec
+            print(f"ERR   {name}: oracle failed\n{rec['err']}")
+            continue
+        ok, why = _values_match(sdf, odf)
+        rec["match"] = ok
+        rec["why"] = why
+        results[name] = rec
+        n_green += ok
+        mark = "OK   " if ok else "FAIL "
+        print(f"{mark} {name}: spark={len(sdf)} oracle={len(odf)} {why} [{time.monotonic()-t0:.1f}s]")
+
+    print(json.dumps({"green": n_green, "total": len(names)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -69,3 +69,85 @@ class TestLabelPropagation:
         out = hierarchical_communities(nodes, edges, levels=2)
         assert out.count() == 5
         assert "level_0" in out.columns
+
+    def test_single_edge_converges_to_one_community(self, spark):
+        # ADVICE r01 regression: a—b used to oscillate (label swap every
+        # round) and land on two singletons by iteration-count parity
+        from anno_spark.operators.communities import label_propagation
+
+        edges = spark.createDataFrame([("a", "b")], "src_node string, dst_node string")
+        nodes = spark.createDataFrame([("a",), ("b",)], "node_id string")
+        comm = {r["node_id"]: r["community_id"] for r in label_propagation(nodes, edges).collect()}
+        assert comm["a"] == comm["b"]
+
+    def test_path_middle_joins_a_neighbor(self, spark):
+        # ADVICE r01 regression: on a—b—c, b used to end up in a
+        # community containing neither of its only neighbors
+        from anno_spark.operators.communities import label_propagation
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src_node string, dst_node string"
+        )
+        nodes = spark.createDataFrame([(v,) for v in "abc"], "node_id string")
+        comm = {r["node_id"]: r["community_id"] for r in label_propagation(nodes, edges).collect()}
+        assert comm["b"] in (comm["a"], comm["c"])
+
+
+class TestLeiden:
+    """L1 — modularity local moving (strata/src/leiden.rs:58-160 port)."""
+
+    def _graph(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")],
+            "src_node string, dst_node string",
+        )
+        nodes = spark.createDataFrame([(v,) for v in "abcxyz"], "node_id string")
+        return nodes, edges
+
+    def test_recovers_planted_communities(self, spark):
+        from anno_spark.operators.communities import leiden_communities
+
+        nodes, edges = self._graph(spark)
+        comm = {r["node_id"]: r["community_id"] for r in leiden_communities(nodes, edges).collect()}
+        assert comm["a"] == comm["b"] == comm["c"]
+        assert comm["x"] == comm["y"] == comm["z"]
+        assert comm["a"] != comm["x"]
+
+    def test_single_edge_merges(self, spark):
+        # ΔQ of merging two singletons = 1 − γ/2 > 0 at γ=1 ⇒ one community
+        from anno_spark.operators.communities import leiden_communities
+
+        edges = spark.createDataFrame([("a", "b")], "src_node string, dst_node string")
+        nodes = spark.createDataFrame([("a",), ("b",)], "node_id string")
+        comm = {r["node_id"]: r["community_id"] for r in leiden_communities(nodes, edges).collect()}
+        assert comm["a"] == comm["b"]
+
+    def test_improves_reference_modularity(self, spark):
+        # the partition found must beat all-singletons under the
+        # reference's edge-sum modularity (leiden.rs:169-283)
+        from anno_spark.operators.communities import leiden_communities, modularity
+
+        nodes, edges = self._graph(spark)
+        found = leiden_communities(nodes, edges)
+        singletons = nodes.selectExpr("node_id", "node_id as community_id")
+        assert modularity(found, edges) > modularity(singletons, edges)
+
+    def test_resolution_monotone(self, spark):
+        # higher γ ⇒ at least as many, smaller communities (lib.rs:52-57)
+        from anno_spark.operators.communities import leiden_communities
+
+        nodes, edges = self._graph(spark)
+        low = leiden_communities(nodes, edges, resolution=0.5)
+        high = leiden_communities(nodes, edges, resolution=4.0)
+        n_low = low.select("community_id").distinct().count()
+        n_high = high.select("community_id").distinct().count()
+        assert n_high >= n_low
+
+    def test_deterministic(self, spark):
+        from anno_spark.operators.communities import leiden_communities
+
+        nodes, edges = self._graph(spark)
+        a = sorted(map(tuple, leiden_communities(nodes, edges).collect()))
+        b = sorted(map(tuple, leiden_communities(nodes, edges).collect()))
+        assert a == b

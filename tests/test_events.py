@@ -80,3 +80,19 @@ class TestEventOperator:
         assert rows["u2"]["event_type"] == "contact:communicate"
         assert rows["u2"]["tense"] == "future"
         assert "u3" not in rows
+
+
+class TestFusedEventsParity:
+    def test_fused_pass_matches_standalone(self, spark):
+        """VERDICT r01 fix #3 acceptance: events extracted inside the
+        single extraction pass (extract.events_table) must equal the
+        standalone operator's output row-for-row."""
+        from anno_spark.operators import extract as ex
+        from anno_spark.operators.events import events_table
+        from anno_spark.sources.pages import synthesize_pages
+
+        pages = synthesize_pages(spark, 60).localCheckpoint()
+        fused = sorted(map(tuple, ex.events_table(ex.extract_documents(pages)).collect()))
+        standalone = sorted(map(tuple, events_table(pages).collect()))
+        assert fused == standalone
+        assert len(fused) > 0
