@@ -159,7 +159,7 @@ def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
-    nprobe: int = 4,
+    nprobe: int = 8,
     query_filter: str = "vec_id % 100 = 0",
     vec_col: str = "embedding",
 ) -> DataFrame:

@@ -495,7 +495,7 @@ def ann_ivf_topk(
     sf_dir_testdata: str,
     k: int = 5,
     n_centroids: int = 16,
-    nprobe: int = 4,
+    nprobe: int = 8,
 ) -> str:
     """Centroids recomputed Spark-free (identical hash-ordered sample +
     numpy k-means) and inlined as literals; assignment, probe pruning and

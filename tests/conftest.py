@@ -4,7 +4,16 @@ startup ≈ 5 s); tests that need different parallelism spawn their own.
 
 from __future__ import annotations
 
+import os
+
 import pytest
+
+# oracle_sql() builds DuckDB SQL whose read_parquet paths must point at the
+# SAME scale the tests query (driver default is sf0.01; tests run sf0.001)
+os.environ.setdefault(
+    "SPARK_GRAFT_ORACLE_SF",
+    os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+)
 
 
 @pytest.fixture(scope="session")
@@ -18,6 +27,4 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    import os
-
     return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

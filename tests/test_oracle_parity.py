@@ -29,10 +29,23 @@ def duck(sf_dir):
 
 
 def _normalize(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 9)
+    import numbers
+
+    import pandas as pd
+
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
+    if v is None or v is pd.NaT:
+        return "\x00<null>"  # sortable sentinel (None < str comparisons raise)
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, numbers.Integral):
+        return int(v)  # numpy int64 (DuckDB) vs python int (Spark)
+    if isinstance(v, numbers.Real):
+        f = float(v)
+        return "nan" if math.isnan(f) else round(f, 9)
+    if hasattr(v, "isoformat"):  # datetime/pd.Timestamp → engine-neutral
+        return str(v)
     return v
 
 

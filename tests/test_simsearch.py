@@ -1,0 +1,54 @@
+"""ANN similarity search gates: IVF recall vs brute force, unbiased
+deterministic centroid sampling (VERDICT r01 fix #7)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).localCheckpoint()
+
+
+class TestIvf:
+    def test_recall_at_5_vs_brute_force(self, spark, embeddings):
+        from anno_spark.operators.simsearch import cosine_topk, ivf_topk
+
+        exact = cosine_topk(embeddings, k=5).collect()
+        approx = ivf_topk(embeddings, k=5).collect()
+        truth: dict = {}
+        for r in exact:
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        got: dict = {}
+        for r in approx:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recalls = [
+            len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+        ]
+        recall = sum(recalls) / len(recalls)
+        assert recall >= 0.9, f"IVF recall@5 {recall:.3f} < 0.9"
+
+    def test_centroid_sample_is_hash_ordered_not_prefix(self, spark, embeddings):
+        # the bias fix: the training sample must NOT be the first-N by id
+        from anno_spark.operators.simsearch import _SAMPLE_HASH_MOD, _SAMPLE_HASH_MULT
+
+        ids = [r["vec_id"] for r in embeddings.select("vec_id").collect()]
+        n = min(64, len(ids))
+        by_hash = sorted(ids, key=lambda i: ((i * _SAMPLE_HASH_MULT) % _SAMPLE_HASH_MOD, i))[:n]
+        assert set(by_hash) != set(sorted(ids)[:n])
+
+    def test_local_centroids_match_spark(self, spark, embeddings, sf_dir):
+        # the DuckDB oracle rebuilds centroids Spark-free — must be identical
+        import os
+
+        from anno_spark.operators.simsearch import train_centroids, train_centroids_local
+
+        c_spark = train_centroids(embeddings, n_centroids=8, sample_n=256)
+        c_local = train_centroids_local(
+            os.path.join(sf_dir, "embeddings.parquet"), n_centroids=8, sample_n=256
+        )
+        assert np.allclose(c_spark, c_local, atol=0.0)
