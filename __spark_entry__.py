@@ -428,6 +428,15 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_ann_hamming_pairs(spark, sf_dir):
+    from anno_spark.operators.simsearch import binary_hash_pairs, binary_hash_table
+    from anno_spark.plans.materialize import materialize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bh = materialize(binary_hash_table(emb), sf_dir, "ann_bhash")
+    return binary_hash_pairs(emb, max_hamming=24, bh=bh)
+
+
 ANN_ORACLE = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
@@ -584,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_hamming_pairs": q_ann_hamming_pairs,
         # multimodal
         "media_profile": q_media_profile,
         # relational layer (SURVEY §2.10)
@@ -664,6 +674,7 @@ def oracle_sql() -> dict[str, str]:
         # similarity search
         "ann_cosine_topk": ANN_ORACLE,
         "ann_ivf_topk": O.ann_ivf_topk(SF001),
+        "ann_hamming_pairs": O.ann_hamming_pairs(sf, 24),
         # multimodal
         "media_profile": O.media_profile(sf),
         # relational layer

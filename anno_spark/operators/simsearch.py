@@ -155,6 +155,81 @@ def _assign_udf(centroids: np.ndarray, nprobe: int = 1):
     return assign
 
 
+def binary_hash_table(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """X8 — BinaryHash (inference.rs:2165-2260): sign-bit pack each
+    embedding (val > 0.0 → bit i set) into 64-bit words. One word here
+    (dim ≤ 64); the multi-word generalization packs ⌈dim/64⌉ columns."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (x > 0.0).astype(np.uint64)
+            weights = np.uint64(1) << np.arange(x.shape[1], dtype=np.uint64)
+            packed = (bits * weights).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "bhash": packed.astype(np.int64),  # two's complement
+                }
+            )
+
+    return embeddings.select("vec_id", vec_col).mapInPandas(
+        pack, schema="vec_id bigint, bhash bigint"
+    )
+
+
+def binary_hash_pairs(
+    embeddings: DataFrame,
+    max_hamming: int = 16,
+    vec_col: str = "embedding",
+    bh: DataFrame | None = None,
+) -> DataFrame:
+    """X8 two-stage retrieval (inference.rs:2178-2186): Hamming-banded
+    blocking over the sign hashes (4×16-bit bands — any pair within
+    Hamming ≤ 3 shares a band for sure; larger radii are recall-traded),
+    then EXACT cosine rerank of the surviving candidate pairs.
+
+    → (vec_a, vec_b, hamming, cosine). At 10⁹ vectors the band join is
+    the only shuffle that touches every row, and it carries 16 bytes/row.
+    """
+    if bh is None:
+        bh = binary_hash_table(embeddings, vec_col)
+    bands = bh.select(
+        "vec_id",
+        "bhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("bhash", 16 * b).bitwiseAND(F.lit(65535)).alias("band_val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bv"),
+    ).select("vec_id", "bhash", "bv.band", "bv.band_val")
+    left = bands.select("band", "band_val", F.col("vec_id").alias("vec_a"), F.col("bhash").alias("h_a"))
+    right = bands.select("band", "band_val", F.col("vec_id").alias("vec_b"), F.col("bhash").alias("h_b"))
+    pairs = (
+        left.join(right, ["band", "band_val"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("vec_a", "vec_b", "hamming")
+    )
+    e = embeddings.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
+    j = (
+        pairs.join(e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a")), "vec_a")
+        .join(e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b")), "vec_b")
+    )
+    return j.select(
+        "vec_a",
+        "vec_b",
+        "hamming",
+        F.round(cosine_sim_expr(F.col("v_a"), F.col("v_b")), 4).alias("cosine"),
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,

@@ -543,6 +543,36 @@ def ann_ivf_topk(
     """
 
 
+def ann_hamming_pairs(sf_dir: str, max_hamming: int = 16) -> str:
+    """X8 two-stage retrieval re-derived: bands from the raw sign-hash,
+    Hamming filter, exact cosine rerank from the embeddings view."""
+    return f"""
+        WITH bh AS (SELECT * FROM {_pq(sf_dir, 'ann_bhash')}),
+        bands AS (
+            SELECT vec_id, bhash,
+                   unnest([0, 1, 2, 3]) AS band,
+                   unnest([(bhash >> 0) & 65535, (bhash >> 16) & 65535,
+                           (bhash >> 32) & 65535, (bhash >> 48) & 65535]) AS band_val
+            FROM bh),
+        pairs AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.bhash AS h_a, b.bhash AS h_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
+        f AS (SELECT vec_a, vec_b,
+                     CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS hamming
+              FROM pairs WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT vec_a, vec_b, hamming,
+               round(list_dot_product(ea.v, eb.v) /
+                     (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
+                     4) AS cosine
+        FROM f
+        JOIN e ea ON ea.vec_id = vec_a
+        JOIN e eb ON eb.vec_id = vec_b
+    """
+
+
 # --------------------------------------------------------------------------
 # multimodal
 

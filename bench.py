@@ -157,7 +157,9 @@ def run_kg_pipeline_synth(spark, n_pages: int, max_bucket_size: int | None = Non
 
     t0 = time.monotonic()
     mentions = ex.mentions_table(extracted)
-    triples = ex.triples_table(extracted).localCheckpoint()
+    # NOT checkpointed: re-deriving the explode from the checkpointed
+    # extracted table is cheaper than caching 10⁶+ triple rows
+    triples = ex.triples_table(extracted)
     n_triples = triples.count()
     t_explode = time.monotonic() - t0
 
@@ -188,6 +190,36 @@ def run_kg_pipeline_synth(spark, n_pages: int, max_bucket_size: int | None = Non
     }
 
 
+def _work(n: int) -> int:
+    acc = 0
+    s = "the quick brown fox jumps over the lazy dog " * 20
+    for i in range(n):
+        acc ^= hash(s[i % 40 : i % 40 + 200] + str(i))
+    return acc
+
+
+def hardware_ceiling(lo: int, hi: int, per: int = 400_000) -> float:
+    """Spark-free scaling ceiling of THIS host right now: pure-python
+    multiprocessing doing extraction-shaped work (string slicing +
+    hashing) at lo and hi workers, work proportional to workers, so
+    perfect scaling = equal wall time. Single-machine lo-vs-hi is a proxy
+    for N-vs-4N executors; the ceiling contextualizes every Spark
+    efficiency number on a shared-vCPU box (measured 0.86-0.88 on a quiet
+    host, as low as 0.72 under noisy neighbors)."""
+    import multiprocessing as mp
+
+    def run(procs: int) -> float:
+        with mp.Pool(procs) as p:
+            t0 = time.monotonic()
+            p.map(_work, [per] * procs * 4)
+            return time.monotonic() - t0
+
+    run(lo)  # warmup (fork + allocator)
+    t_lo = min(run(lo) for _ in range(2))
+    t_hi = min(run(hi) for _ in range(2))
+    return round(t_lo / t_hi, 4)
+
+
 def scaling() -> None:
     """Run the identical KG job at N and 4N cores on the same synthesized
     corpus; print throughput at both plus efficiency T_4N/(4·T_N).
@@ -211,6 +243,7 @@ def scaling() -> None:
     lo, hi = (
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")
     )
+    ceiling = hardware_ceiling(lo, hi)
     results = {}
     for cpus in (lo, hi):
         code = (
@@ -268,6 +301,10 @@ def scaling() -> None:
         "pages": pages,
         "triples": results[hi]["triples"],
         "cpu_pinned": True,
+        "hw_ceiling": ceiling,
+        "value_vs_ceiling": round((thr_hi / (ratio * thr_lo)) / ceiling, 4)
+        if ceiling
+        else None,
         f"sec_at_{lo}": round(t_lo, 3),
         f"sec_at_{hi}": round(t_hi, 3),
         f"pages_per_sec_at_{lo}": round(thr_lo, 2),
