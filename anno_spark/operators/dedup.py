@@ -287,6 +287,12 @@ def simhash_near_duplicates(
 # exact n-gram Jaccard (verification pass over LSH candidates)
 
 
+# Shingle-set size guard: a 100 KB page yields ~10⁵ hashed 3-grams and the
+# exact-verify join would drag multi-MB arrays per row through the shuffle.
+# Verification quality saturates long before that — cap the chars shingled.
+SHINGLE_MAX_CHARS = 20_000
+
+
 def _shingle_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from anno_spark.core.minhash import extract_ngrams, fnv1a_seeded, to_i64
 
@@ -295,7 +301,7 @@ def _shingle_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             sorted(
                 {
                     to_i64(fnv1a_seeded(g.encode("utf-8"), 0))
-                    for g in extract_ngrams((t or "").lower())
+                    for g in extract_ngrams((t or "")[:SHINGLE_MAX_CHARS].lower())
                 }
             )
             for t in pdf["text"]

@@ -151,3 +151,56 @@ class TestLeiden:
         a = sorted(map(tuple, leiden_communities(nodes, edges).collect()))
         b = sorted(map(tuple, leiden_communities(nodes, edges).collect()))
         assert a == b
+
+    def test_matches_sequential_reference_port(self, spark):
+        # partition-level parity with the leiden.rs greedy (pure-Python
+        # port, strata/src/leiden.rs:58-160) on planted-structure graphs
+        from anno_spark.core.leiden_ref import leiden_ref, partition_sets
+        from anno_spark.operators.communities import leiden_communities
+
+        cases = [
+            # two triangles + bridge
+            [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")],
+            # single edge
+            [("a", "b")],
+            # 4-clique + pendant
+            [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e")],
+        ]
+        for elist in cases:
+            vs = sorted({v for e in elist for v in e})
+            ref = leiden_ref(vs, [(a, b, 1.0) for a, b in elist])
+            nodes = spark.createDataFrame([(v,) for v in vs], "node_id string")
+            edges = spark.createDataFrame(elist, "src_node string, dst_node string")
+            got = {r["node_id"]: r["community_id"]
+                   for r in leiden_communities(nodes, edges).collect()}
+            assert partition_sets(got) == partition_sets(ref), (elist, got, ref)
+
+
+class TestLeidenRefPort:
+    """Pure-python checks of the leiden.rs port itself (no Spark)."""
+
+    def test_modularity_formula(self):
+        # hand value: triangle in one community, γ=1: m=3, all deg=2,
+        # q = 3·(1 − 2·2/6) = 1, Q = 1/6
+        from anno_spark.core.leiden_ref import modularity_ref
+
+        edges = [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0)]
+        comm = {"a": 0, "b": 0, "c": 0}
+        assert abs(modularity_ref(["a", "b", "c"], edges, comm) - 1.0 / 6.0) < 1e-12
+
+    def test_merges_single_edge(self):
+        from anno_spark.core.leiden_ref import leiden_ref
+
+        out = leiden_ref(["a", "b"], [("a", "b", 1.0)])
+        assert out["a"] == out["b"]
+
+    def test_resolution_splits(self):
+        # very high γ penalizes merges: expected-term γ·k_a·k_b/2m wins
+        from anno_spark.core.leiden_ref import leiden_ref
+
+        edges = [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0)]
+        merged = leiden_ref(["a", "b", "c"], edges, resolution=1.0)
+        split = leiden_ref(["a", "b", "c"], edges, resolution=10.0)
+        assert len(set(merged.values())) < len(set(split.values()))
