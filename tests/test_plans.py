@@ -90,3 +90,48 @@ class TestAggregationShape:
         plan = _plan(df)
         assert "isFinalPlan=true" in plan
         assert "WholeStageCodegen" in plan or "*(" in plan
+
+
+class TestRound2PlanShapes:
+    def test_top_clusters_is_take_ordered(self, spark, sf_dir):
+        # global top-k must plan as TakeOrderedAndProject (per-partition
+        # top-k + k-row driver merge), never a full sort shuffle
+        plan = _plan(entry_mod.q_kg_top_clusters(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_label_filter_pushed_to_scan(self, spark, sf_dir):
+        # N7 predicate must reach the materialized-mentions parquet scan
+        df = entry_mod.q_ner_label_filter(spark, sf_dir)
+        plan = _plan(df)
+        assert "PushedFilters" in plan
+        assert "entity_type" in plan.split("PushedFilters")[1][:300]
+
+    def test_binary_hash_pairs_no_cartesian(self, spark, sf_dir):
+        # X8 blocking is an equi-join on (band, band_val) — a cartesian
+        # here is the quadratic-blowup regression
+        import os
+
+        from anno_spark.operators.simsearch import binary_hash_pairs
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        plan = _plan(binary_hash_pairs(emb, max_hamming=24))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_ivf_join_is_equi_on_centroid(self, spark, sf_dir):
+        # the IVF probe join must be an equi-join (centroid_id), not the
+        # brute-force cross join it replaces
+        plan = _plan(entry_mod.q_ann_ivf_topk(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "centroid_id" in plan
+
+    def test_ml_ner_reads_only_url_and_text(self, spark, sf_dir):
+        from anno_spark.operators.ml_ner import KeywordModel, ml_mentions_table
+        from anno_spark.sources.pages import pages_from_documents
+
+        pages = pages_from_documents(spark, sf_dir)
+        df = ml_mentions_table(pages, lambda: KeywordModel({"x": "ORG"}))
+        # the page synthesis scan needs only doc_id; no html column flows
+        plan = _plan(df)
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "doc_id" in read_schema
