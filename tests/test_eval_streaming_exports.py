@@ -205,3 +205,103 @@ class TestLinking:
         ).withColumn("key_id", F.xxhash64("surface", "entity_type"))
         links = linking.link_surfaces(surfaces, idx).collect()
         assert len(links) == 1 and links[0]["kb_id"] == "Q64"
+
+
+class TestStatefulStreaming:
+    """applyInPandasWithState: incremental surface-key aggregation whose
+    running totals must equal the batch surface_keys over the union of
+    all micro-batches (streaming/stateful.py docstring contract)."""
+
+    MENTIONS_DDL = (
+        "url string, text string, entity_type string, warc_ts timestamp"
+    )
+
+    def _mentions(self, spark):
+        rows = [
+            ("u1", "Alice Smith", "PER", "2024-01-03 00:00:00"),
+            ("u1", "Acme Corp", "ORG", "2024-01-03 00:00:00"),
+            ("u2", "alice smith", "PER", "2024-01-01 00:00:00"),
+            ("u3", "ALICE SMITH", "PER", "2024-01-05 00:00:00"),
+            ("u3", "Berlin", "LOC", "2024-01-05 00:00:00"),
+            ("u4", "Acme Corp", "ORG", "2024-01-02 00:00:00"),
+        ]
+        return spark.createDataFrame(
+            [(u, t, e, __import__("datetime").datetime.fromisoformat(ts)) for u, t, e, ts in rows],
+            self.MENTIONS_DDL,
+        )
+
+    def test_running_totals_match_batch(self, spark, tmp_path):
+        from anno_spark.streaming import ingest
+        from anno_spark.streaming.stateful import streaming_surface_keys
+
+        mentions = self._mentions(spark)
+        src = str(tmp_path / "mentions_stream")
+        # 3 files -> 3 micro-batches with maxFilesPerTrigger=1
+        mentions.repartition(3).write.parquet(src)
+
+        stream = (
+            spark.readStream.schema(self.MENTIONS_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_surface_keys(stream)
+        ingest.run_to_memory_sink(out, "surf_state", output_mode="update")
+        rows = spark.sql("select * from surf_state").collect()
+
+        # latest emitted row per key (n_mentions is monotone)
+        latest = {}
+        for r in rows:
+            k = (r["surface"], r["entity_type"])
+            if k not in latest or r["n_mentions"] > latest[k]["n_mentions"]:
+                latest[k] = r
+
+        want = {
+            (r["surface"], r["entity_type"]): r
+            for r in mentions.groupBy(
+                F.lower("text").alias("surface"), "entity_type"
+            )
+            .agg(
+                F.count("*").alias("n_mentions"),
+                F.min("warc_ts").alias("first_seen"),
+            )
+            .collect()
+        }
+        assert set(latest) == set(want)
+        for k, w in want.items():
+            assert latest[k]["n_mentions"] == w["n_mentions"], k
+            assert latest[k]["first_seen"] == w["first_seen"], k
+
+    def test_state_accumulates_across_batches(self, spark, tmp_path):
+        """A key split across micro-batches must emit increasing running
+        totals (proves cross-batch state, not per-batch aggregation)."""
+        from anno_spark.streaming import ingest
+        from anno_spark.streaming.stateful import streaming_surface_keys
+
+        import datetime as dt
+
+        src = str(tmp_path / "mentions_stream2")
+        one = spark.createDataFrame(
+            [("u1", "Alice", "PER", dt.datetime(2024, 1, 2))], self.MENTIONS_DDL
+        )
+        two = spark.createDataFrame(
+            [("u2", "alice", "PER", dt.datetime(2024, 1, 1))], self.MENTIONS_DDL
+        )
+        one.coalesce(1).write.parquet(src)
+        two.coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(self.MENTIONS_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ingest.run_to_memory_sink(
+            streaming_surface_keys(stream), "surf_state2", output_mode="update"
+        )
+        rows = sorted(
+            spark.sql("select * from surf_state2").collect(),
+            key=lambda r: r["n_mentions"],
+        )
+        assert [r["n_mentions"] for r in rows] == [1, 2]
+        assert [r["n_new"] for r in rows] == [1, 1]
+        # first_seen tightened when the earlier-dated batch arrived
+        assert rows[-1]["first_seen"] == dt.datetime(2024, 1, 1)
