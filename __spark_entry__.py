@@ -376,6 +376,25 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_embedding(spark, sf_dir):
+    from anno_spark.operators.dedup import doc_vectors, embedding_near_duplicates
+    from anno_spark.plans.materialize import materialize
+
+    dv = materialize(doc_vectors(_t(spark, sf_dir, "documents")), sf_dir, "dd_docvecs")
+    return embedding_near_duplicates(
+        dv,
+        min_cosine=0.8,
+        max_hamming=16,
+        bh=dv.select(F.col("doc_id").alias("vec_id"), "bhash"),
+    )
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    from anno_spark.operators.textstats import doc_fingerprints
+
+    return doc_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_stats(spark, sf_dir):
     from anno_spark.operators.textstats import doc_stats
 
@@ -586,7 +605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
         "doc_stats": q_doc_stats,
+        "doc_fingerprints": q_doc_fingerprints,
         "doc_quality": q_doc_quality,
         "lang_profile": q_lang_profile,
         "lang_detect": q_lang_detect,
@@ -646,6 +667,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": O.dedup_minhash(sf, 0.8),
         "dedup_simhash": O.dedup_simhash(sf, 3),
         "dedup_ngram_jaccard": O.dedup_ngram_jaccard(sf, 0.5),
+        "dedup_embedding": O.dedup_embedding(sf, 0.8, 16),
         # text stats
         "doc_stats": f"""
             SELECT doc_id,
@@ -661,6 +683,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_quality": O.doc_quality(_STOPWORDS),
+        "doc_fingerprints": f"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE length(list_filter(regexp_split_to_array(trim(text), '{O.WS}'), x -> x <> '')) END AS ws_tokens,
+                   length(regexp_extract_all(text, '{O.BPE_RE}')) AS bpe_tokens,
+                   md5(lower(regexp_replace(trim(text), '{O.WS}', ' ', 'g'))) AS fingerprint,
+                   CASE WHEN length(substr(text, 1, {O.ROLL_MAX})) = 0 THEN 0
+                        ELSE list_reduce(
+                            list_transform(range(1, length(substr(text, 1, {O.ROLL_MAX})) + 1),
+                                           i -> CAST(unicode(substr(text, 1, {O.ROLL_MAX})[i]) AS BIGINT)),
+                            (acc, c) -> (acc * {O.ROLL_B} + c) % {O.ROLL_P}) END AS rolling_hash
+            FROM documents
+        """,
         "lang_profile": f"""
             WITH t AS (
               SELECT lang, length(text) AS nc,

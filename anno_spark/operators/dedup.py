@@ -8,6 +8,9 @@ Four families, each a `queries()` entry (driver-checked):
                  anno_spark.core.minhash, at document granularity)
 * simhash      — 64-bit simhash + banded Hamming blocking
 * ngram-Jaccard— exact Jaccard on char-3-gram sets over LSH candidates
+* embedding    — cosine near-dup over a document vector (feature-hashing
+                 embedding; sign-hash Hamming blocking → exact cosine →
+                 connected components)
 
 At 100 TB: all four block before any pairwise work — the only shuffle
 that touches full text is the one distinct/groupBy; pair verification
@@ -342,4 +345,93 @@ def ngram_jaccard_pairs(
     jacc = F.when(union == 0, 1.0).otherwise(inter.cast("double") / union.cast("double"))
     return j.select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard")).where(
         F.col("jaccard") >= threshold
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+
+DOCVEC_DIM = 64
+
+
+def _doc_vector_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from anno_spark.core.minhash import fnv1a_seeded, to_i64
+
+    tok_cache: dict[str, int] = {}
+    weights = np.uint64(1) << np.arange(DOCVEC_DIM, dtype=np.uint64)
+
+    def tok_hash(tok: str) -> int:
+        h = tok_cache.get(tok)
+        if h is None:
+            h = fnv1a_seeded(tok.encode("utf-8"), 0)
+            if len(tok_cache) < 2_000_000:
+                tok_cache[tok] = h
+        return h
+
+    for pdf in batches:
+        vecs, bhashes = [], []
+        for t in pdf["text"]:
+            v = np.zeros(DOCVEC_DIM)
+            for tok in (t or "").lower().split():
+                h = tok_hash(tok)
+                v[h % DOCVEC_DIM] += 1.0 if (h >> 6) & 1 else -1.0
+            n = float(np.linalg.norm(v))
+            if n > 0:
+                v = v / n
+            vecs.append(v.tolist())
+            bits = (v > 0.0).astype(np.uint64)
+            bhashes.append(to_i64(int((bits * weights).sum(dtype=np.uint64))))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "v": vecs, "bhash": bhashes})
+
+
+def doc_vectors(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, v array<double>, bhash bigint) — feature-hashing document
+    embedding: each token's FNV-1a hash picks a bucket (h % 64) and a sign
+    (bit 6), the bucket sums are L2-normalized, and ``bhash`` sign-packs
+    the vector for Hamming blocking (the hashing-trick / SimHash-style
+    real-valued sketch). Deterministic and content-derived; near-dup
+    documents land at cosine ≈ 1, unrelated documents near 0."""
+    par = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    return (
+        docs.select("doc_id", F.col(text_col).alias("text"))
+        .repartition(par)
+        .mapInPandas(
+            _doc_vector_batches,
+            schema=f"doc_id bigint, v array<double>, bhash bigint",
+        )
+    )
+
+
+def embedding_near_duplicates(
+    vecs: DataFrame,
+    min_cosine: float = 0.8,
+    max_hamming: int = 16,
+    id_col: str = "doc_id",
+    vec_col: str = "v",
+    bh: DataFrame | None = None,
+) -> DataFrame:
+    """→ (cluster_id, doc_id): connected components over pairs whose
+    embedding cosine (rounded to 4 dp, matching binary_hash_pairs) is
+    ≥ ``min_cosine``, candidates blocked by sign-hash Hamming distance.
+
+    Works over any (id, array<float|double>) table — the ``doc_vectors``
+    sketch or a real model embedding column. At 10⁹ docs the band join
+    carries 16 bytes/row; the cosine rerank touches only candidates."""
+    from .simsearch import binary_hash_pairs
+
+    e = vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    pairs = binary_hash_pairs(e, max_hamming=max_hamming, bh=bh)
+    edges = pairs.where(F.col("cosine") >= min_cosine).select(
+        F.col("vec_a").alias("key_a"), F.col("vec_b").alias("key_b")
+    )
+    nodes = e.select(F.col("vec_id").alias("key_id"))
+    comps = connected_components(nodes, edges)
+    clustered = comps.select(
+        F.col("component_id").alias("cluster_id"), F.col("key_id").alias("doc_id")
+    )
+    sizes = clustered.groupBy("cluster_id").agg(F.count("*").alias("n"))
+    return clustered.join(sizes.where(F.col("n") > 1), "cluster_id").select(
+        "cluster_id", "doc_id"
     )

@@ -29,6 +29,52 @@ def line_count(col: Column) -> Column:
     return F.size(F.split(col, "\n"))
 
 
+# BPE-ish pre-tokenizer (GPT-2-style classes, simplified to be identical
+# under Java regex and RE2 so the DuckDB oracle can run the same pattern:
+# no lookahead, explicit ASCII whitespace): a token is an optional-space
+# letter run, an optional-space digit run, or an optional-space
+# punctuation run.
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f\x0B]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Sub-word-ish token count via the BPE pre-tokenizer regex (the
+    usual first-order proxy for LLM token budgeting; pure codegen)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+# Polynomial rolling hash (Rabin-Karp): h = Σ c_i · B^(n-i) mod P.
+# Capped at ROLL_MAX_CHARS — fingerprint quality saturates long before a
+# 100 KB page, and the per-row char array in the fold is bounded.
+ROLL_BASE = 31
+ROLL_MOD = 1_000_000_007
+ROLL_MAX_CHARS = 4096
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Rolling-hash document fingerprint over the first ROLL_MAX_CHARS
+    chars (codepoint fold, JVM higher-order aggregate — no Python)."""
+    chars = F.split(F.substring(col, 1, ROLL_MAX_CHARS), "")
+    return F.aggregate(
+        F.filter(chars, lambda ch: ch != F.lit("")),
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: F.pmod(acc * ROLL_BASE + F.ascii(ch), F.lit(ROLL_MOD)),
+    )
+
+
+def doc_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token-budget + fingerprint profile: whitespace
+    tokens, BPE-ish tokens, md5 normalized fingerprint, rolling hash."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("ws_tokens"),
+        bpe_token_count(t).alias("bpe_tokens"),
+        normalized_fingerprint(t).alias("fingerprint"),
+        rolling_fingerprint(t).alias("rolling_hash"),
+    )
+
+
 def char_class_ratio(col: Column, pattern: str) -> Column:
     """Fraction of characters matching the regex char class."""
     n = F.length(col)

@@ -32,6 +32,16 @@ from .materialize import oracle_dir
 
 WS = "[ \\t\\n\\r\\f\\v]+"  # must mirror anno_spark.operators.textstats.WS_CLASS
 
+# BPE pre-tokenizer + rolling-hash constants shared verbatim with the
+# Spark side (both regex dialects are leftmost-first, and the pattern
+# avoids lookahead/Unicode classes so Java and RE2 agree).
+from ..operators.textstats import (  # noqa: E402
+    BPE_TOKEN_RE as BPE_RE,
+    ROLL_BASE as ROLL_B,
+    ROLL_MAX_CHARS as ROLL_MAX,
+    ROLL_MOD as ROLL_P,
+)
+
 
 def _pq(sf_dir: str, name: str) -> str:
     return f"read_parquet('{os.path.join(oracle_dir(sf_dir), name + '.parquet')}/*.parquet')"
@@ -397,6 +407,48 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.5) -> str:
                               ELSE CAST(inter AS DOUBLE) / uni END, 6) AS jaccard
             FROM j)
         SELECT * FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+def dedup_embedding(sf_dir: str, min_cosine: float = 0.8, max_hamming: int = 16) -> str:
+    """Embedding-cosine near-dup re-derived end-to-end from the
+    materialized doc vectors: 4×16-bit Hamming bands, exact-cosine gate
+    (rounded to 4 dp like the Spark side), recursive-CTE connected
+    components, cluster-size filter."""
+    return f"""
+        WITH RECURSIVE
+        dv AS (SELECT * FROM {_pq(sf_dir, 'dd_docvecs')}),
+        bands AS (
+            SELECT doc_id, bhash,
+                   unnest([0, 1, 2, 3]) AS band,
+                   unnest([(bhash >> 0) & 65535, (bhash >> 16) & 65535,
+                           (bhash >> 32) & 65535, (bhash >> 48) & 65535]) AS band_val
+            FROM dv),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.bhash AS h_a, b.bhash AS h_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+        cedges AS (
+            SELECT doc_a, doc_b
+            FROM cand
+            JOIN dv va ON va.doc_id = doc_a
+            JOIN dv vb ON vb.doc_id = doc_b
+            WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
+              AND round(list_dot_product(va.v, vb.v) /
+                        (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))),
+                        4) >= {min_cosine}),
+        csym AS (SELECT doc_a AS src, doc_b AS dst FROM cedges
+                 UNION SELECT doc_b, doc_a FROM cedges),
+        reach(id, comp) AS (
+            SELECT doc_id, doc_id FROM dv
+            UNION
+            SELECT s.dst, r.comp FROM reach r JOIN csym s ON s.src = r.id
+        ),
+        comps AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id),
+        sized AS (SELECT cluster_id, count(*) AS n FROM comps GROUP BY cluster_id)
+        SELECT cluster_id, doc_id FROM comps JOIN sized USING (cluster_id)
+        WHERE n > 1
     """
 
 

@@ -1,0 +1,80 @@
+"""Tests for the BPE-ish token counter, rolling-hash fingerprint, and
+embedding-cosine near-dup (the round-2 additions to the training-data
+op families). Cross-engine parity at corpus scale is covered by
+tests/test_oracle_parity.py (doc_fingerprints / dedup_embedding)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestDocFingerprints:
+    def _fp(self, spark, rows):
+        from anno_spark.operators.textstats import doc_fingerprints
+
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return {r["doc_id"]: r for r in doc_fingerprints(df).collect()}
+
+    def test_bpe_vs_ws_tokens(self, spark):
+        out = self._fp(spark, [(1, "Hello world, 42 foo-bar!"), (2, ""), (3, "   ")])
+        # "Hello|world|,|42|foo|-|bar|!" = 8 BPE-ish vs 4 ws tokens
+        assert out[1]["bpe_tokens"] == 8 and out[1]["ws_tokens"] == 4
+        assert out[2]["bpe_tokens"] == 0 and out[2]["ws_tokens"] == 0
+        assert out[3]["bpe_tokens"] == 0 and out[3]["ws_tokens"] == 0
+
+    def test_rolling_hash_is_polynomial(self, spark):
+        from anno_spark.operators.textstats import ROLL_BASE, ROLL_MOD
+
+        out = self._fp(spark, [(1, "abc"), (2, "")])
+
+        def ref(s):
+            h = 0
+            for ch in s:
+                h = (h * ROLL_BASE + ord(ch)) % ROLL_MOD
+            return h
+
+        assert out[1]["rolling_hash"] == ref("abc")
+        assert out[2]["rolling_hash"] == 0
+
+    def test_rolling_hash_order_sensitive(self, spark):
+        out = self._fp(spark, [(1, "ab"), (2, "ba")])
+        assert out[1]["rolling_hash"] != out[2]["rolling_hash"]
+
+    def test_cap_makes_long_prefix_equal(self, spark):
+        from anno_spark.operators.textstats import ROLL_MAX_CHARS
+
+        base = "x" * ROLL_MAX_CHARS
+        out = self._fp(spark, [(1, base + "AAAA"), (2, base + "BBBB")])
+        assert out[1]["rolling_hash"] == out[2]["rolling_hash"]
+
+
+class TestEmbeddingNearDup:
+    def test_duplicates_cluster_unrelated_do_not(self, spark):
+        from anno_spark.operators.dedup import doc_vectors, embedding_near_duplicates
+
+        dup = "the quick brown fox jumps over the lazy dog " * 8
+        near = dup + "extra trailing words appended here"
+        other = "completely different subject matter about astrophysics " * 8
+        docs = spark.createDataFrame(
+            [(1, dup), (2, dup), (3, near), (4, other)],
+            "doc_id bigint, text string",
+        )
+        dv = doc_vectors(docs)
+        clusters = embedding_near_duplicates(dv, min_cosine=0.8, max_hamming=16)
+        got = {}
+        for r in clusters.collect():
+            got.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+        assert {frozenset(s) for s in got.values()} == {frozenset({1, 2, 3})}
+
+    def test_vectors_unit_norm_and_deterministic(self, spark):
+        from anno_spark.operators.dedup import doc_vectors
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "")],
+            "doc_id bigint, text string",
+        )
+        rows = {r["doc_id"]: r for r in doc_vectors(docs).collect()}
+        v1, v2 = rows[1]["v"], rows[2]["v"]
+        assert v1 == v2 and rows[1]["bhash"] == rows[2]["bhash"]
+        assert abs(sum(x * x for x in v1) - 1.0) < 1e-9
+        assert rows[3]["v"] == [0.0] * len(v1) and rows[3]["bhash"] == 0
