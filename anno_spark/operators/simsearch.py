@@ -194,6 +194,13 @@ def binary_hash_pairs(
     """
     if bh is None:
         bh = binary_hash_table(embeddings, vec_col)
+    # skew-proof band join (same shape as the dedup blockers): broadcast
+    # the build side + round-robin-spread the probe side while the hash
+    # table fits, so a hot band bucket's pair explosion parallelizes
+    bh = bh.localCheckpoint()
+    small = bh.limit(1_000_001).count() <= 1_000_000
+    maybe_broadcast = F.broadcast if small else (lambda df: df)
+    par = bh.sparkSession.sparkContext.defaultParallelism
     bands = bh.select(
         "vec_id",
         "bhash",
@@ -208,9 +215,11 @@ def binary_hash_pairs(
         ).alias("bv"),
     ).select("vec_id", "bhash", "bv.band", "bv.band_val")
     left = bands.select("band", "band_val", F.col("vec_id").alias("vec_a"), F.col("bhash").alias("h_a"))
+    if small:
+        left = left.repartition(max(par * 4, 64))
     right = bands.select("band", "band_val", F.col("vec_id").alias("vec_b"), F.col("bhash").alias("h_b"))
     pairs = (
-        left.join(right, ["band", "band_val"])
+        left.join(maybe_broadcast(right), ["band", "band_val"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
         .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
