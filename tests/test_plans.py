@@ -135,3 +135,67 @@ class TestRound2PlanShapes:
         plan = _plan(df)
         read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
         assert "doc_id" in read_schema
+
+
+class TestSkewProofBandJoins:
+    """The banded blockers must plan the small-table path as a broadcast
+    join with a round-robin-spread probe side: a shuffled equi-join would
+    serialize each hot (band, hash) bucket's pair explosion into one task
+    (AQE splits partitions, never single keys)."""
+
+    def test_minhash_band_join_broadcasts_when_small(self, spark, sf_dir):
+        import os
+
+        from anno_spark.operators.dedup import (
+            doc_signatures_with_id,
+            minhash_candidate_pairs,
+        )
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        pairs = minhash_candidate_pairs(
+            doc_signatures_with_id(docs), min_est_jaccard=0.8
+        )
+        plan = _plan(pairs)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # probe side spread before the explosion
+        assert "RoundRobinPartitioning" in plan or "Exchange RoundRobin" in plan
+
+    def test_minhash_large_fallback_runs_and_matches(self, spark, sf_dir):
+        """The web-scale path (no explicit broadcast hints, dedup before
+        scoring) must produce the same pair set as the broadcast path.
+        (No plan-shape assert: on genuinely tiny data Catalyst may still
+        pick a broadcast from its own stats — correctly.)"""
+        import os
+
+        from anno_spark.operators.dedup import (
+            doc_signatures_with_id,
+            minhash_candidate_pairs,
+        )
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        sigs = doc_signatures_with_id(docs).localCheckpoint()
+        small = {
+            (r["doc_a"], r["doc_b"], round(r["est_jaccard"], 6))
+            for r in minhash_candidate_pairs(sigs, min_est_jaccard=0.8).collect()
+        }
+        large = {
+            (r["doc_a"], r["doc_b"], round(r["est_jaccard"], 6))
+            for r in minhash_candidate_pairs(
+                sigs, broadcast_max_docs=1, min_est_jaccard=0.8
+            ).collect()
+        }
+        assert small == large and len(small) > 0
+
+    def test_driver_cc_result_is_broadcast_join(self, spark):
+        from pyspark.sql import functions as F
+
+        from anno_spark.operators.resolve import connected_components
+
+        nodes = spark.range(100).select(F.col("id").alias("key_id"))
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2)], "key_a bigint, key_b bigint"
+        )
+        out = connected_components(nodes, edges)
+        plan = _plan(out)
+        assert "BroadcastHashJoin" in plan  # comp map broadcast onto nodes
