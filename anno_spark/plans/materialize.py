@@ -23,7 +23,18 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-ORACLE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".oracle")
+# Overridable so concurrent processes (e.g. two pytest sessions) don't
+# overwrite each other's intermediates mid-read: "written once per
+# process, always overwrite" is only safe with one process per root.
+# The driver harness and check_correctness.py use the default in-repo
+# root; tests isolate per-session (see tests/conftest.py).
+ORACLE_ROOT = os.environ.get(
+    "SPARK_GRAFT_ORACLE_ROOT",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".oracle",
+    ),
+)
 
 _written: set[str] = set()
 

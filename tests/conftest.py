@@ -14,6 +14,10 @@ os.environ.setdefault(
     "SPARK_GRAFT_ORACLE_SF",
     os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
 )
+# Per-session oracle root: materialize() overwrites tables once per
+# process, so two concurrent Spark processes sharing the in-repo .oracle
+# dir can delete parquet parts out from under each other mid-scan.
+os.environ.setdefault("SPARK_GRAFT_ORACLE_ROOT", f"/tmp/anno-oracle-{os.getpid()}")
 
 
 @pytest.fixture(scope="session")
