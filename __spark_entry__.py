@@ -376,6 +376,26 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _pages_meta(spark, sf_dir):
+    from anno_spark.plans.materialize import materialize
+
+    return materialize(
+        _pages(spark, sf_dir).select("url", "warc_ts", "lang"), sf_dir, "pages_meta"
+    )
+
+
+def q_web_url_parts(spark, sf_dir):
+    from anno_spark.operators.urlstats import url_parts
+
+    return url_parts(_pages_meta(spark, sf_dir))
+
+
+def q_web_domains(spark, sf_dir):
+    from anno_spark.operators.urlstats import domain_profile
+
+    return domain_profile(_pages_meta(spark, sf_dir))
+
+
 def q_dedup_embedding(spark, sf_dir):
     from anno_spark.operators.dedup import doc_vectors, embedding_near_duplicates
     from anno_spark.plans.materialize import materialize
@@ -608,6 +628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "doc_stats": q_doc_stats,
         "doc_fingerprints": q_doc_fingerprints,
+        "web_url_parts": q_web_url_parts,
+        "web_domains": q_web_domains,
         "doc_quality": q_doc_quality,
         "lang_profile": q_lang_profile,
         "lang_detect": q_lang_detect,
@@ -706,6 +728,8 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY lang
         """,
         "lang_detect": O.lang_detect(),
+        "web_url_parts": O.web_url_parts(sf),
+        "web_domains": O.web_domains(sf),
         # similarity search
         "ann_cosine_topk": ANN_ORACLE,
         "ann_ivf_topk": O.ann_ivf_topk(SF001),

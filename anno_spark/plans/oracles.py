@@ -540,6 +540,51 @@ def lang_detect() -> str:
 
 
 # --------------------------------------------------------------------------
+# URL / domain analysis
+
+
+def _url_parse_ctes(sf_dir: str) -> str:
+    """host/path via regexp (independent of Spark's parse_url), last-two-
+    label registered domain, non-empty path-segment depth."""
+    return f"""
+        p AS (SELECT * FROM {_pq(sf_dir, 'pages_meta')}),
+        u AS (SELECT url, warc_ts, lang,
+                lower(regexp_extract(url, '://([^/?#]+)', 1)) AS host,
+                regexp_extract(url, '://[^/?#]+([^?#]*)', 1) AS path
+              FROM p),
+        x AS (SELECT *, string_split(host, '.') AS parts FROM u),
+        y AS (SELECT url, warc_ts, lang, host,
+                CASE WHEN length(parts) >= 2
+                     THEN parts[length(parts) - 1] || '.' || parts[length(parts)]
+                     ELSE host END AS domain,
+                parts[length(parts)] AS tld,
+                length(list_filter(string_split(path, '/'), s -> s <> '')) AS path_depth
+              FROM x)
+    """
+
+
+def web_url_parts(sf_dir: str) -> str:
+    return f"""
+        WITH {_url_parse_ctes(sf_dir)}
+        SELECT url, host, domain, tld, CAST(path_depth AS INTEGER) AS path_depth
+        FROM y
+    """
+
+
+def web_domains(sf_dir: str) -> str:
+    return f"""
+        WITH {_url_parse_ctes(sf_dir)}
+        SELECT domain, count(*) AS n_pages,
+               count(DISTINCT host) AS n_hosts,
+               round(avg(path_depth), 6) AS avg_path_depth,
+               count(DISTINCT lang) AS n_langs,
+               min(warc_ts) AS first_crawl,
+               max(warc_ts) AS last_crawl
+        FROM y GROUP BY domain
+    """
+
+
+# --------------------------------------------------------------------------
 # ANN oracles
 
 

@@ -78,3 +78,47 @@ class TestEmbeddingNearDup:
         assert v1 == v2 and rows[1]["bhash"] == rows[2]["bhash"]
         assert abs(sum(x * x for x in v1) - 1.0) < 1e-9
         assert rows[3]["v"] == [0.0] * len(v1) and rows[3]["bhash"] == 0
+
+
+class TestUrlStats:
+    def test_url_parts_fields(self, spark):
+        from anno_spark.operators.urlstats import url_parts
+
+        df = spark.createDataFrame(
+            [
+                ("https://News.Example-42.test/politics/493",),
+                ("https://sub.a.example.org/",),
+                ("https://localhost",),
+            ],
+            "url string",
+        )
+        rows = {r["url"]: r for r in url_parts(df).collect()}
+        r = rows["https://News.Example-42.test/politics/493"]
+        assert r["host"] == "news.example-42.test"
+        assert r["domain"] == "example-42.test"
+        assert r["tld"] == "test" and r["path_depth"] == 2
+        r = rows["https://sub.a.example.org/"]
+        assert r["domain"] == "example.org" and r["path_depth"] == 0
+        # single-label host: domain falls back to the host itself
+        r = rows["https://localhost"]
+        assert r["domain"] == "localhost" and r["tld"] == "localhost"
+
+    def test_domain_profile_counts(self, spark):
+        import datetime as dt
+
+        from anno_spark.operators.urlstats import domain_profile
+
+        df = spark.createDataFrame(
+            [
+                ("https://a.x.test/1", dt.datetime(2024, 1, 2), "en"),
+                ("https://b.x.test/1/2", dt.datetime(2024, 1, 1), "de"),
+                ("https://c.y.test/", dt.datetime(2024, 1, 3), "en"),
+            ],
+            "url string, warc_ts timestamp, lang string",
+        )
+        out = {r["domain"]: r for r in domain_profile(df).collect()}
+        assert out["x.test"]["n_pages"] == 2 and out["x.test"]["n_hosts"] == 2
+        assert out["x.test"]["n_langs"] == 2
+        assert out["x.test"]["first_crawl"] == dt.datetime(2024, 1, 1)
+        assert abs(out["x.test"]["avg_path_depth"] - 1.5) < 1e-9
+        assert out["y.test"]["n_pages"] == 1 and out["y.test"]["avg_path_depth"] == 0.0
