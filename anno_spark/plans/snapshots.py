@@ -86,16 +86,54 @@ class SnapshotStore:
 
         n_rows = df.sparkSession.read.format(self.fmt).load(out).count()
         m = self._read_manifest()
-        m["stages"][stage] = {
+        entry = {
             "snapshot_id": snapshot_id,
             "path": out,
             "rows": n_rows,
         }
+        m["stages"][stage] = entry
+        # Iceberg-style snapshot log: every commit is retained (data dirs
+        # are uuid-addressed and never overwritten), so any older
+        # snapshot stays readable and the pointer can roll back to it.
+        m.setdefault("history", {}).setdefault(stage, []).append(dict(entry))
         self._write_manifest(m)
-        return m["stages"][stage]
+        return entry
 
-    def load(self, spark: SparkSession, stage: str) -> DataFrame | None:
-        info = self.committed(stage)
+    def history(self, stage: str) -> list[dict]:
+        """All committed snapshots of <stage>, oldest first."""
+        return self._read_manifest().get("history", {}).get(stage, [])
+
+    def rollback(self, stage: str, snapshot_id: str) -> dict:
+        """Flip the stage pointer to an earlier snapshot (the Iceberg
+        rollback semantic): subsequent loads/resumes read that snapshot.
+        The newer snapshot's data stays on disk and in the history."""
+        m = self._read_manifest()
+        for entry in m.get("history", {}).get(stage, []):
+            if entry["snapshot_id"] == snapshot_id:
+                m["stages"][stage] = dict(entry)
+                self._write_manifest(m)
+                return dict(entry)
+        raise KeyError(f"no snapshot {snapshot_id!r} for stage {stage!r}")
+
+    def load(
+        self,
+        spark: SparkSession,
+        stage: str,
+        snapshot_id: str | None = None,
+    ) -> DataFrame | None:
+        """Read the current snapshot of <stage>, or time-travel to a
+        specific ``snapshot_id`` from the history."""
+        if snapshot_id is not None:
+            info = next(
+                (
+                    e
+                    for e in self.history(stage)
+                    if e["snapshot_id"] == snapshot_id
+                ),
+                None,
+            )
+        else:
+            info = self.committed(stage)
         if info is None:
             return None
         return spark.read.format(self.fmt).load(info["path"]).drop("bucket")

@@ -200,6 +200,31 @@ def test_resume_from_snapshots(spark, tmp_path):
     assert metrics.where("rows < 0").count() == 0
 
 
+def test_snapshot_time_travel_and_rollback(spark, tmp_path):
+    from anno_spark.plans.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "snap"))
+    df1 = spark.range(5).selectExpr("id", "id * 2 AS v")
+    df2 = spark.range(3).selectExpr("id", "id * 10 AS v")
+    s1 = store.commit("stage_a", df1)
+    s2 = store.commit("stage_a", df2)
+    assert [h["snapshot_id"] for h in store.history("stage_a")] == [
+        s1["snapshot_id"], s2["snapshot_id"],
+    ]
+    # pointer reads the latest; time-travel reads the old one
+    assert store.load(spark, "stage_a").count() == 3
+    old = store.load(spark, "stage_a", snapshot_id=s1["snapshot_id"])
+    assert old.count() == 5 and {r["v"] for r in old.collect()} == {0, 2, 4, 6, 8}
+    # rollback flips the pointer; newer snapshot stays in the history
+    store.rollback("stage_a", s1["snapshot_id"])
+    assert store.load(spark, "stage_a").count() == 5
+    assert len(store.history("stage_a")) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        store.rollback("stage_a", "nope")
+
+
 # --------------------------------------------------------------------------
 # string_similarity JVM expression == Python oracle (differential)
 
