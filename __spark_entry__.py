@@ -415,6 +415,21 @@ def q_doc_fingerprints(spark, sf_dir):
     return doc_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+CURATION_MIN_QUALITY = 0.67
+CURATION_LANGS = ("en", "de", "fr", "es")
+
+
+def q_corpus_curation(spark, sf_dir):
+    from anno_spark.operators.curation import curate_corpus
+
+    return curate_corpus(
+        _t(spark, sf_dir, "documents"),
+        min_quality=CURATION_MIN_QUALITY,
+        langs=CURATION_LANGS,
+        sigs=_dd_sigs(spark, sf_dir),
+    )
+
+
 def q_doc_stats(spark, sf_dir):
     from anno_spark.operators.textstats import doc_stats
 
@@ -626,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
+        "corpus_curation": q_corpus_curation,
         "doc_stats": q_doc_stats,
         "doc_fingerprints": q_doc_fingerprints,
         "web_url_parts": q_web_url_parts,
@@ -690,6 +706,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": O.dedup_simhash(sf, 3),
         "dedup_ngram_jaccard": O.dedup_ngram_jaccard(sf, 0.5),
         "dedup_embedding": O.dedup_embedding(sf, 0.8, 16),
+        "corpus_curation": O.corpus_curation(
+            sf, _STOPWORDS, CURATION_MIN_QUALITY, CURATION_LANGS, 0.8
+        ),
         # text stats
         "doc_stats": f"""
             SELECT doc_id,

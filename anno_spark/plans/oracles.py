@@ -333,9 +333,11 @@ def _minhash_band_pairs(sigs_cte: str, max_bucket: int = 1000) -> str:
     """
 
 
-def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> str:
+def _minhash_cluster_ctes(sf_dir: str, threshold: float) -> str:
+    """Shared CTE chain: raw signatures → representative collapse → band
+    pairs → est-Jaccard gate → recursive-CTE CC → fan-out → ``clusters``
+    (cluster_id, doc_id; singleton clusters removed)."""
     return f"""
-        WITH RECURSIVE
         sigs AS (SELECT * FROM {_pq(sf_dir, 'dd_sigs')}),
         reps AS (SELECT sig_id, min(doc_id) AS doc_id,
                         arg_min(signature, doc_id) AS signature,
@@ -364,9 +366,55 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> str:
                      JOIN comps c ON c.id = r.doc_id),
         all_docs AS (SELECT s.doc_id, rc.component_id AS cluster_id
                      FROM sigs s JOIN rep_comp rc USING (sig_id)),
-        sized AS (SELECT cluster_id, count(*) AS n FROM all_docs GROUP BY cluster_id)
-        SELECT cluster_id, doc_id FROM all_docs JOIN sized USING (cluster_id)
-        WHERE n > 1
+        sized AS (SELECT cluster_id, count(*) AS n FROM all_docs GROUP BY cluster_id),
+        clusters AS (SELECT cluster_id, doc_id FROM all_docs JOIN sized USING (cluster_id)
+                     WHERE n > 1)
+    """
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> str:
+    return f"""
+        WITH RECURSIVE
+        {_minhash_cluster_ctes(sf_dir, threshold)}
+        SELECT cluster_id, doc_id FROM clusters
+    """
+
+
+def corpus_curation(
+    sf_dir: str,
+    stopwords,
+    min_quality: float,
+    langs,
+    threshold: float = 0.8,
+) -> str:
+    """Full curation decision re-derived in SQL: exact-dup keep-first via
+    a fingerprint window, near-dup keep-first over the recursive-CTE
+    MinHash clusters, lang allow-list, quality threshold — with the same
+    first-match drop precedence as the Spark operator."""
+    lang_list = ", ".join(f"'{x}'" for x in langs)
+    return f"""
+        WITH RECURSIVE
+        {_minhash_cluster_ctes(sf_dir, threshold)},
+        ndl AS (SELECT doc_id FROM (
+                    SELECT doc_id, min(doc_id) OVER (PARTITION BY cluster_id) AS m
+                    FROM clusters)
+                WHERE doc_id <> m),
+        fp AS (SELECT doc_id, lang,
+                      md5(lower(regexp_replace(trim(text), '{WS}', ' ', 'g'))) AS f
+               FROM documents),
+        fwin AS (SELECT f, min(doc_id) AS keeper FROM fp GROUP BY f),
+        ql AS ({doc_quality(stopwords)}),
+        r AS (SELECT fp.doc_id,
+                     CASE WHEN fp.doc_id <> fwin.keeper THEN 'exact_dup'
+                          WHEN ndl.doc_id IS NOT NULL THEN 'near_dup'
+                          WHEN fp.lang NOT IN ({lang_list}) THEN 'lang'
+                          WHEN ql.quality_score < {min_quality} THEN 'low_quality'
+                     END AS drop_reason
+              FROM fp
+              JOIN fwin USING (f)
+              LEFT JOIN ndl ON ndl.doc_id = fp.doc_id
+              JOIN ql ON ql.doc_id = fp.doc_id)
+        SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM r
     """
 
 

@@ -122,3 +122,45 @@ class TestUrlStats:
         assert out["x.test"]["first_crawl"] == dt.datetime(2024, 1, 1)
         assert abs(out["x.test"]["avg_path_depth"] - 1.5) < 1e-9
         assert out["y.test"]["n_pages"] == 1 and out["y.test"]["avg_path_depth"] == 0.0
+
+
+class TestCorpusCuration:
+    def test_precedence_and_keep_first(self, spark):
+        from anno_spark.operators.curation import curate_corpus
+
+        good = (
+            "the quick brown fox jumps over the lazy dog and it was a fine "
+            "day for all of the animals in this story to be at the park "
+        ) * 4
+        near = good + "with a few extra words at the end of it"
+        docs = spark.createDataFrame(
+            [
+                (1, good, "en"),            # kept (first copy)
+                (2, good, "en"),            # exact_dup of 1
+                (3, near, "en"),            # near_dup of {1,2} cluster
+                (4, good + " unique", "zh"),  # near_dup wins over lang
+                (5, "000 111 !!! " * 30, "en"),  # low quality (no alpha/stopwords)
+                (6, "completely different decent text about the state of "
+                    "the world and all that is in it today my friends", "fr"),
+            ],
+            "doc_id bigint, text string, lang string",
+        )
+        out = {r["doc_id"]: r for r in curate_corpus(
+            docs, min_quality=0.5, langs=("en", "fr")).collect()}
+        assert out[1]["keep"] and out[1]["drop_reason"] is None
+        assert out[2]["drop_reason"] == "exact_dup"
+        assert out[3]["drop_reason"] == "near_dup"
+        assert out[4]["drop_reason"] == "near_dup"  # precedence over lang
+        assert out[5]["drop_reason"] == "low_quality"
+        assert out[6]["keep"]
+
+    def test_lang_filter(self, spark):
+        from anno_spark.operators.curation import curate_corpus
+
+        docs = spark.createDataFrame(
+            [(1, "a perfectly fine text about the things that matter to "
+                 "all of us in the world today", "ja")],
+            "doc_id bigint, text string, lang string",
+        )
+        row = curate_corpus(docs, min_quality=0.0, langs=("en",)).collect()[0]
+        assert row["drop_reason"] == "lang" and not row["keep"]
