@@ -100,15 +100,19 @@ def _is_alnum(c: str) -> bool:
 
 
 def _lstrip_na(s: str) -> str:
+    if s and s[0].isalnum():  # fast path: most words start alphanumeric
+        return s
     i = 0
-    while i < len(s) and not _is_alnum(s[i]):
+    while i < len(s) and not s[i].isalnum():
         i += 1
     return s[i:]
 
 
 def _rstrip_na(s: str) -> str:
+    if s and s[-1].isalnum():  # fast path: most words end alphanumeric
+        return s
     j = len(s)
-    while j > 0 and not _is_alnum(s[j - 1]):
+    while j > 0 and not s[j - 1].isalnum():
         j -= 1
     return s[:j]
 
@@ -120,6 +124,16 @@ def _strip_na(s: str) -> str:
 def _is_cjk_char(c: str) -> bool:
     o = ord(c)
     return 0x4E00 <= o <= 0x9FFF or 0x3040 <= o <= 0x309F or 0x30A0 <= o <= 0x30FF
+
+
+# C-speed equivalents of the per-char Python scans (hot path: these run
+# over the FULL text of every page). Semantics identical by construction:
+# the regex classes are built from the same ranges / the same
+# _WHITE_SPACE character set.
+import re as _re
+
+_CJK_RE = _re.compile("[\u4e00-\u9fff\u3040-\u309f\u30a0-\u30ff]")
+_NONWS_RE = _re.compile("[^" + _re.escape("".join(sorted(_WHITE_SPACE))) + "]+")
 
 
 def _first_upper(s: str) -> bool:
@@ -193,23 +207,15 @@ def extract_entities(text: str, threshold: float = THRESHOLD) -> list[Mention]:
         return []
     entities: list[Mention] = []
 
-    if any(_is_cjk_char(c) for c in text):
+    if _CJK_RE.search(text) is not None:  # ≡ any(_is_cjk_char(c) for c in text)
         _cjk_gazetteer_scan(text, entities)
 
-    # Whitespace word scan with char positions (heuristic.rs:380-408).
-    words_with_pos: list[tuple[str, int, int]] = []  # (word, start_char, end_char)
-    in_word = False
-    word_start = 0
-    for pos, c in enumerate(text):
-        if c in _WHITE_SPACE:
-            if in_word:
-                words_with_pos.append((text[word_start:pos], word_start, pos))
-                in_word = False
-        elif not in_word:
-            in_word = True
-            word_start = pos
-    if in_word:
-        words_with_pos.append((text[word_start:], word_start, len(text)))
+    # Whitespace word scan with char positions (heuristic.rs:380-408):
+    # runs of non-_WHITE_SPACE chars, found at C speed (the regex class
+    # is built from the exact same character set).
+    words_with_pos: list[tuple[str, int, int]] = [
+        (m.group(), m.start(), m.end()) for m in _NONWS_RE.finditer(text)
+    ]
 
     words = [w for (w, _, _) in words_with_pos]
     nwords = len(words)

@@ -120,11 +120,46 @@ def _overlaps(entities: list[Mention], start: int, end: int) -> bool:
     return any(not (end <= e.start or start >= e.end) for e in entities)
 
 
+_DIGIT_RE = re.compile(r"\d")
+
+# Cheap pre-scan guards (hot path: ~30 full-text regex scans per page).
+# Each entry lists constants the pattern REQUIRES to match — strictly
+# implied by the pattern source above, so skipping a guarded-out pass is
+# observationally identical. "d" = any \d digit (same \d the patterns
+# use); plain strings are substring checks; the second tuple is
+# any-of-these-substrings. Patterns without a safe guard get (("d",), ()).
+_G_DIGIT = (("d",), ())
+_GUARDS = {
+    "DATE_ISO": (("d", "-"), ()),
+    "DATE_US": (("d", "/"), ()),
+    "DATE_EU": (("d", "."), ()),
+    "DATE_JAPANESE": (("d", "年"), ()),
+    "DATE_KOREAN": (("d", "년"), ()),
+    "TIME_12H": (("d", ":"), ()),
+    "TIME_24H": (("d", ":"), ()),
+    "MONEY_SYMBOL": ((), ("$", "€", "£", "¥")),
+    "EMAIL": (("@",), ()),
+    "URL": (("://",), ()),
+    "PHONE_INTL": (("d", "+"), ()),
+    "MENTION": (("@",), ()),
+    "HASHTAG": (("#",), ()),
+}
+
+
 def extract_entities(text: str) -> list[Mention]:
     """Run all patterns in order with first-come overlap suppression;
     output sorted by start (regex.rs:368)."""
     entities: list[Mention] = []
+    has_digit = _DIGIT_RE.search(text) is not None
     for pattern, etype, conf, name in _PASSES:
+        all_of, any_of = _GUARDS.get(name, _G_DIGIT)
+        skip = False
+        for g in all_of:
+            if (not has_digit) if g == "d" else (g not in text):
+                skip = True
+                break
+        if skip or (any_of and not any(s in text for s in any_of)):
+            continue
         for m in pattern.finditer(text):
             s, e = m.start(), m.end()
             if not _overlaps(entities, s, e):

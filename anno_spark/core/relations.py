@@ -52,24 +52,51 @@ def _byte_slice(text_bytes: bytes, start: int, end: int) -> str:
         return ""
 
 
-def detect_relation_type(head: Mention, tail: Mention, between_text: str):
+# Hot-path compile of REL_PATTERNS: trigger bytes precomputed once (the
+# triggers are ASCII constants, so byte length == char length), and each
+# slug carries its type-gate id. Gate semantics note: in the reference,
+# a trigger HIT on a type-invalid slug falls through to the next trigger
+# of the same slug — which can also never return — so skipping a gated-
+# out slug's triggers entirely is observationally identical (and avoids
+# scanning ~half the pattern set per pair).
+_GATE_EMPLOYMENT, _GATE_LOCATION, _GATE_NONE = 0, 1, 2
+_REL_PATTERNS_C = tuple(
+    (
+        slug,
+        tuple((t.encode("utf-8"), len(t)) for t in triggers),
+        conf,
+        _GATE_EMPLOYMENT
+        if slug in _EMPLOYMENT
+        else (_GATE_LOCATION if slug in _LOCATION else _GATE_NONE),
+    )
+    for slug, triggers, conf in REL_PATTERNS
+)
+
+
+def detect_relation_type(
+    head: Mention, tail: Mention, between_text: str, _between_bytes: bytes | None = None
+):
     """inference.rs:2079-2163 → (slug, confidence, (trig_start, trig_end)) | None.
-    Trigger offsets are byte offsets into the lowercased between-text."""
-    between_lower = between_text.lower()
-    between_bytes = between_lower.encode("utf-8")
-    for slug, triggers, conf in REL_PATTERNS:
-        for trigger in triggers:
-            pos = between_bytes.find(trigger.encode("utf-8"))
-            if pos == -1:
+    Trigger offsets are byte offsets into the lowercased between-text.
+    ``_between_bytes`` lets a caller pass the lowercased UTF-8 bytes
+    precomputed (extract_relations caches them per span)."""
+    between_bytes = (
+        _between_bytes
+        if _between_bytes is not None
+        else between_text.lower().encode("utf-8")
+    )
+    employment_ok = head.entity_type == PER and tail.entity_type == ORG
+    location_ok = tail.entity_type == LOC
+    for slug, triggers, conf, gate in _REL_PATTERNS_C:
+        if gate == _GATE_EMPLOYMENT:
+            if not employment_ok:
                 continue
-            if slug in _EMPLOYMENT:
-                valid = head.entity_type == PER and tail.entity_type == ORG
-            elif slug in _LOCATION:
-                valid = tail.entity_type == LOC
-            else:
-                valid = True
-            if valid:
-                return (slug, conf, (pos, pos + len(trigger)))
+        elif gate == _GATE_LOCATION and not location_ok:
+            continue
+        for trig_bytes, trig_len in triggers:
+            pos = between_bytes.find(trig_bytes)
+            if pos != -1:
+                return (slug, conf, (pos, pos + trig_len))
     return None
 
 
@@ -80,6 +107,9 @@ def extract_relations(
     triples: list[Triple] = []
     text_bytes = text.encode("utf-8")
     n = len(entities)
+    # per-doc span cache: the ordered-pair loop visits each unordered
+    # span twice (i,j) and (j,i) — slice+lower+encode once per span
+    span_cache: dict[tuple[int, int], bytes] = {}
     for i in range(n):
         head = entities[i]
         for j in range(n):
@@ -94,8 +124,16 @@ def extract_relations(
                 span_start, span_end = tail.end, head.start
             if distance > max_span_distance:
                 continue
-            between_text = _byte_slice(text_bytes, span_start, span_end)
-            hit = detect_relation_type(head, tail, between_text)
+            key = (span_start, span_end)
+            between_bytes = span_cache.get(key)
+            if between_bytes is None:
+                between_bytes = (
+                    _byte_slice(text_bytes, span_start, span_end)
+                    .lower()
+                    .encode("utf-8")
+                )
+                span_cache[key] = between_bytes
+            hit = detect_relation_type(head, tail, "", _between_bytes=between_bytes)
             if hit is None:
                 continue
             slug, conf, (ts, te) = hit

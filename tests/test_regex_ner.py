@@ -208,3 +208,37 @@ class TestIntegration:
             for j in range(i + 1, len(es)):
                 assert not (es[i].start < es[j].end and es[j].start < es[i].end)
         assert [e.start for e in es] == sorted(e.start for e in es)
+
+
+def test_guards_never_change_output():
+    """The pre-scan guards must be strictly implied by their patterns:
+    guarded extraction == running every pattern unguarded, on a fuzz
+    corpus covering every guard character class."""
+    import random
+
+    from anno_spark.core.regex_ner import _PASSES, Mention, _overlaps, extract_entities
+
+    def unguarded(text):
+        entities = []
+        for pattern, etype, conf, name in _PASSES:
+            for m in pattern.finditer(text):
+                s, e = m.start(), m.end()
+                if not _overlaps(entities, s, e):
+                    entities.append(Mention(m.group(), etype, s, e, conf, name, "regex"))
+        entities.sort(key=lambda e: e.start)
+        return entities
+
+    rng = random.Random(42)
+    pieces = [
+        "2024-01-15", "3/4/99", "1.2.2024", "March 5th, 2020", "5 janvier",
+        "12:30 pm", "14:05", "3pm", "$5,000", "€9", "£3M", "¥100",
+        "500 dollars", "2 billion", "55%", "12 pct", "a@b.co",
+        "https://x.test/a", "+49 30 1234", "(555) 123-4567", "@handle",
+        "#tag", "2024年1月5日", "2024년 1월 5일", "plain words only",
+        "Mr. Smith", "no digits here at all", "$,",
+    ]
+    for _ in range(400):
+        text = " ".join(rng.choice(pieces) for _ in range(rng.randrange(0, 8)))
+        got = [(m.text, m.start, m.end, m.pattern) for m in extract_entities(text)]
+        want = [(m.text, m.start, m.end, m.pattern) for m in unguarded(text)]
+        assert got == want, text
