@@ -305,3 +305,59 @@ class TestStatefulStreaming:
         assert [r["n_new"] for r in rows] == [1, 1]
         # first_seen tightened when the earlier-dated batch arrived
         assert rows[-1]["first_seen"] == dt.datetime(2024, 1, 1)
+
+
+class TestStreamingSnapshotSink:
+    """Exactly-once streaming ingestion into the snapshot lake: batches
+    commit once, replays are skipped, and a resumed stream with the same
+    checkpoint appends only unseen source batches."""
+
+    def test_stream_lands_and_resumes(self, spark, tmp_path):
+        from anno_spark.plans.snapshots import SnapshotStore
+        from anno_spark.streaming import ingest
+        from anno_spark.streaming.sink import (
+            StreamingSnapshotSink,
+            load_stream_stage,
+            run_stream_to_snapshots,
+        )
+
+        src = str(tmp_path / "pages_src")
+        ckpt = str(tmp_path / "ckpt")
+        store = SnapshotStore(str(tmp_path / "lake"))
+        pages = synthesize_pages(spark, 30)
+        pages.repartition(3).write.parquet(src)
+
+        stream = ingest.stream_pages_from_parquet(spark, src, max_files_per_trigger=1)
+        run_stream_to_snapshots(
+            ingest.streaming_triples(stream), store, "triples_stream", ckpt
+        )
+        got = load_stream_stage(spark, store, "triples_stream")
+        want = ex.triples_table(ex.extract_documents(pages))
+        key = lambda r: (r["url"], r["subj_start"], r["pred"], r["obj_start"])
+        assert {key(r) for r in got.collect()} == {key(r) for r in want.collect()}
+        meta = store.committed("triples_stream")
+        assert meta["streaming"] and meta["last_batch_id"] >= 1
+        assert meta["rows"] == want.count()
+
+        # replayed batch (same id, different data) must be a no-op
+        sink = StreamingSnapshotSink(store, "triples_stream")
+        sink(spark.range(5).selectExpr("id AS url"), meta["last_batch_id"])
+        assert store.committed("triples_stream")["rows"] == want.count()
+
+        # resume with the same checkpoint: nothing new -> nothing appended
+        stream2 = ingest.stream_pages_from_parquet(spark, src, max_files_per_trigger=1)
+        run_stream_to_snapshots(
+            ingest.streaming_triples(stream2), store, "triples_stream", ckpt
+        )
+        assert store.committed("triples_stream")["rows"] == want.count()
+
+        # land more source files; resume appends ONLY the new batch
+        more = synthesize_pages(spark, 40).where("url NOT IN (SELECT url FROM parquet.`" + src + "`)")
+        more.coalesce(1).write.mode("append").parquet(src)
+        stream3 = ingest.stream_pages_from_parquet(spark, src, max_files_per_trigger=1)
+        run_stream_to_snapshots(
+            ingest.streaming_triples(stream3), store, "triples_stream", ckpt
+        )
+        want_all = ex.triples_table(ex.extract_documents(spark.read.parquet(src)))
+        got_all = load_stream_stage(spark, store, "triples_stream")
+        assert {key(r) for r in got_all.collect()} == {key(r) for r in want_all.collect()}
