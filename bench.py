@@ -55,21 +55,34 @@ def run_kg_pipeline(spark, sf_dir: str) -> dict:
 
 def _warmup(spark) -> None:
     """Untimed JVM/codegen/Python-worker warmup: the first shuffle, the
-    first pandas-UDF job, and the first explode+hash-agg plan each pay
-    one-time JIT costs (up to ~25 s at local[32]) that would otherwise
-    be booked to the first timed query. A 2000-page dry run exercises
-    every plan kind the pipeline uses."""
+    first pandas-UDF job, and the first use of each codegen plan shape
+    pay one-time JIT costs (up to ~25 s at local[32], and measured ~10 s
+    for the banded-dedup shapes alone) that would otherwise be booked to
+    the first timed query. The dry runs exercise every plan kind the
+    timed queries use: extraction UDF + explode, LSH join + CC,
+    band-explode + zip_with scoring + dropDuplicates, and the
+    broadcast-cross cosine + window rank."""
     from pyspark.sql import functions as F
 
     from anno_spark.operators import extract as ex
     from anno_spark.operators import resolve as rx
+    from anno_spark.operators.dedup import minhash_near_duplicates
+    from anno_spark.operators.simsearch import cosine_topk
     from anno_spark.sources.pages import synthesize_pages
 
     spark.range(100000).groupBy((F.col("id") % 7).alias("k")).count().count()
-    ext = ex.extract_documents(synthesize_pages(spark, 2000)).localCheckpoint()
+    pages = synthesize_pages(spark, 2000)
+    ext = ex.extract_documents(pages).localCheckpoint()
     mentions = ex.mentions_table(ext)
     rx.resolve_mentions(mentions)[1].count()
     ex.triples_table(ext).count()
+    docs = pages.select(F.xxhash64("url").alias("doc_id"), "text").limit(500)
+    minhash_near_duplicates(docs).count()
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(8)]).alias("embedding"),
+    )
+    cosine_topk(emb, k=2, query_filter="vec_id % 50 = 0").count()
 
 
 HEADLINE = (
