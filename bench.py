@@ -75,6 +75,12 @@ def _warmup(spark) -> None:
     ext = ex.extract_documents(pages).localCheckpoint()
     mentions = ex.mentions_table(ext)
     rx.resolve_mentions(mentions)[1].count()
+    # the bucket-cap variant generates a DIFFERENT codegen shape (extra
+    # bucket-size join); cold, its first stage runs interpreted in every
+    # task simultaneously — measured 42 s → 4 s first-vs-warm at
+    # local[32] (a cold-JIT stampede: more threads = more of the stage
+    # finishes before C2 compilation pays off)
+    rx.resolve_mentions(mentions, max_bucket_size=256)[1].count()
     ex.triples_table(ext).count()
     docs = pages.select(F.xxhash64("url").alias("doc_id"), "text").limit(500)
     minhash_near_duplicates(docs).count()
