@@ -89,3 +89,22 @@ def test_entry_runs(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert "pred" in df.columns
+
+
+def test_harness_catches_a_mutated_operator(spark, sf_dir, duck, monkeypatch):
+    """Integrity check on the oracle scheme itself: if an operator's
+    behavior drifts from the contract the oracle encodes, the comparison
+    MUST fail — otherwise the 40 green rows could be vacuously green.
+    Mutates the curation quality threshold on the Spark side only and
+    asserts the (unchanged) oracle now mismatches."""
+    name = "corpus_curation"
+    oracle = entry_mod.oracle_sql()[name]  # built with the REAL threshold
+    monkeypatch.setattr(entry_mod, "CURATION_MIN_QUALITY", 0.72)
+    sdf = entry_mod.queries()[name](spark, sf_dir)
+    cols = sorted(sdf.columns)
+    spark_rows = _rowset(tuple(r[c] for c in cols) for r in sdf.collect())
+    odf = duck.execute(oracle).df()
+    duck_rows = _rowset(tuple(row[c] for c in cols) for _, row in odf.iterrows())
+    assert spark_rows != duck_rows, (
+        "mutated operator still matched its oracle — the check is vacuous"
+    )
