@@ -199,3 +199,25 @@ class TestSkewProofBandJoins:
         out = connected_components(nodes, edges)
         plan = _plan(out)
         assert "BroadcastHashJoin" in plan  # comp map broadcast onto nodes
+
+
+class TestNewOpPlans:
+    def test_domain_profile_single_partial_agg(self, spark, sf_dir):
+        """One groupBy on domain with map-side partial aggregation."""
+        from anno_spark.operators.urlstats import domain_profile
+        from anno_spark.sources.pages import pages_from_documents
+
+        plan = _plan(domain_profile(pages_from_documents(spark, sf_dir)))
+        assert "partial_count" in plan or "HashAggregate" in plan
+        # countDistinct(host/lang) expands, but no join anywhere
+        assert "Join" not in plan.replace("JoinType", "")
+
+    def test_curation_no_cartesian_and_broadcast_losers(self, spark, sf_dir):
+        import os
+
+        from anno_spark.operators.curation import curate_corpus
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        plan = _plan(curate_corpus(docs))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan  # near-dup losers join back small
