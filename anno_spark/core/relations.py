@@ -110,6 +110,65 @@ def extract_relations(
     # per-doc span cache: the ordered-pair loop visits each unordered
     # span twice (i,j) and (j,i) — slice+lower+encode once per span
     span_cache: dict[tuple[int, int], bytes] = {}
+
+    def emit(head, tail, span_start, span_end):
+        between_bytes = span_cache.get((span_start, span_end))
+        if between_bytes is None:
+            between_bytes = (
+                _byte_slice(text_bytes, span_start, span_end).lower().encode("utf-8")
+            )
+            span_cache[(span_start, span_end)] = between_bytes
+        hit = detect_relation_type(head, tail, "", _between_bytes=between_bytes)
+        if hit is None:
+            return
+        slug, conf, (ts, te) = hit
+        triples.append(
+            Triple(
+                head.text, head.entity_type, head.start, head.end,
+                slug,
+                tail.text, tail.entity_type, tail.start, tail.end,
+                span_start + ts, span_start + te, conf,
+            )
+        )
+
+    # Mention-heavy pages (n ≥ 64) use a windowed scan over the
+    # (start, end)-sorted list — stacked.py sorts before calling — with
+    # PROVEN-skip bounds, so the quadratic loop becomes near-linear:
+    # * backward prune: prefix-max(end) is nondecreasing; every j with
+    #   prefix_max_end[j] < head.start - max_d has distance > max_d —
+    #   bisect to the first possibly-valid j.
+    # * forward break: starts nondecreasing ⇒ once a forward tail
+    #   exceeds the gate, all later ones do.
+    # Surviving (i, j) pairs emit in exactly the full-loop order. Short
+    # pages keep the plain loop: the bookkeeping costs ~10% where a
+    # 50-char gate already covers most of the page.
+    if n >= 64 and all(
+        (entities[k].start, entities[k].end)
+        <= (entities[k + 1].start, entities[k + 1].end)
+        for k in range(n - 1)
+    ):
+        from bisect import bisect_left
+
+        pmax_end: list[int] = []
+        running = -1
+        for e in entities:
+            running = e.end if e.end > running else running
+            pmax_end.append(running)
+        for i in range(n):
+            head = entities[i]
+            j0 = bisect_left(pmax_end, head.start - max_span_distance)
+            for j in range(j0, n):
+                if i == j:
+                    continue
+                tail = entities[j]
+                if head.end <= tail.start:
+                    if tail.start - head.end > max_span_distance:
+                        break
+                    emit(head, tail, head.end, tail.start)
+                elif head.start - tail.end <= max_span_distance:
+                    emit(head, tail, tail.end, head.start)
+        return triples
+
     for i in range(n):
         head = entities[i]
         for j in range(n):
@@ -124,27 +183,7 @@ def extract_relations(
                 span_start, span_end = tail.end, head.start
             if distance > max_span_distance:
                 continue
-            key = (span_start, span_end)
-            between_bytes = span_cache.get(key)
-            if between_bytes is None:
-                between_bytes = (
-                    _byte_slice(text_bytes, span_start, span_end)
-                    .lower()
-                    .encode("utf-8")
-                )
-                span_cache[key] = between_bytes
-            hit = detect_relation_type(head, tail, "", _between_bytes=between_bytes)
-            if hit is None:
-                continue
-            slug, conf, (ts, te) = hit
-            triples.append(
-                Triple(
-                    head.text, head.entity_type, head.start, head.end,
-                    slug,
-                    tail.text, tail.entity_type, tail.start, tail.end,
-                    span_start + ts, span_start + te, conf,
-                )
-            )
+            emit(head, tail, span_start, span_end)
     return triples
 
 

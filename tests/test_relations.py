@@ -77,3 +77,61 @@ class TestExtract:
         out = extract_document(text)
         preds = {(t.subj_text, t.pred, t.obj_text) for t in out.triples}
         assert any(p[1] == "CEO_OF" for p in preds), preds
+
+
+def test_windowed_pair_scan_equals_naive_loop():
+    """The bisect/break windowed scan must emit exactly the triples of
+    the full n² ordered-pair loop, in the same order, for random
+    mention sets (sorted and unsorted, overlapping and long spans)."""
+    import random
+
+    from anno_spark.core.entity import LOC, ORG, PER, Mention
+    from anno_spark.core.relations import (
+        MAX_SPAN_DISTANCE,
+        _byte_slice,
+        detect_relation_type,
+    )
+    from anno_spark.core.relations import extract_relations as windowed
+
+    def naive(entities, text, max_d=MAX_SPAN_DISTANCE):
+        out = []
+        tb = text.encode("utf-8")
+        for i in range(len(entities)):
+            head = entities[i]
+            for j in range(len(entities)):
+                if i == j:
+                    continue
+                tail = entities[j]
+                if head.end <= tail.start:
+                    d = tail.start - head.end
+                    ss, se = head.end, tail.start
+                else:
+                    d = max(head.start - tail.end, 0)
+                    ss, se = tail.end, head.start
+                if d > max_d:
+                    continue
+                hit = detect_relation_type(head, tail, _byte_slice(tb, ss, se))
+                if hit:
+                    slug, conf, (ts, te) = hit
+                    out.append((head.text, slug, tail.text, ss + ts, ss + te, conf))
+        return out
+
+    rng = random.Random(9)
+    words = "Alice Bob CEO of Acme Corp in works for Berlin founded and then at the".split()
+    # every 3rd trial uses >=64 entities so the WINDOWED scan path runs
+    for trial in range(60):
+        text = " ".join(rng.choice(words) for _ in range(rng.randrange(5, 60)))
+        ents = []
+        n_ents = rng.randrange(0, 14) if trial % 3 else rng.randrange(64, 110)
+        for _ in range(n_ents):
+            s = rng.randrange(0, max(1, len(text) - 2))
+            e = min(len(text), s + rng.randrange(1, 30))
+            etype = rng.choice([PER, ORG, LOC, "DATE"])
+            ents.append(Mention(text[s:e], etype, s, e, 0.9, "t", "x"))
+        for sort_it in (True, False):
+            es = sorted(ents, key=lambda m: (m.start, m.end)) if sort_it else list(ents)
+            got = [
+                (t.subj_text, t.pred, t.obj_text, t.trigger_start, t.trigger_end, t.confidence)
+                for t in windowed(es, text)
+            ]
+            assert got == naive(es, text), (trial, sort_it, text)
