@@ -120,3 +120,42 @@ def to_jsonld(nodes: DataFrame, edges: DataFrame, cap: int = DEFAULT_CAP) -> str
         "@graph": graph,
     }
     return json.dumps(doc, sort_keys=True)
+
+
+def to_graphml(nodes: DataFrame, edges: DataFrame, cap: int = DEFAULT_CAP) -> str:
+    """GraphML (the standard XML graph-interchange format — Gephi,
+    yEd, igraph, NetworkX all read it). Same bounded-collect contract
+    as the other renderers; proper XML escaping via ElementTree."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.Element("graphml", xmlns="http://graphml.graphdrawing.org/xmlns")
+    for kid, name, typ, target in (
+        ("d0", "name", "string", "node"),
+        ("d1", "node_type", "string", "node"),
+        ("d2", "n_mentions", "long", "node"),
+        ("d3", "relation", "string", "edge"),
+        ("d4", "confidence", "double", "edge"),
+    ):
+        ET.SubElement(
+            root, "key",
+            id=kid, **{"for": target, "attr.name": name, "attr.type": typ},
+        )
+    g = ET.SubElement(root, "graph", id="kg", edgedefault="directed")
+    for n in _collect(nodes, cap):
+        el = ET.SubElement(g, "node", id=str(n["node_id"]))
+        for kid, val in (
+            ("d0", n["name"]),
+            ("d1", n["node_type"]),
+            ("d2", int(n["n_mentions"])),
+        ):
+            d = ET.SubElement(el, "data", key=kid)
+            d.text = str(val)
+    for i, e in enumerate(_collect(edges, cap)):
+        el = ET.SubElement(
+            g, "edge",
+            id=f"e{i}", source=str(e["src_node"]), target=str(e["dst_node"]),
+        )
+        for kid, val in (("d3", e["relation"]), ("d4", float(e["confidence"]))):
+            d = ET.SubElement(el, "data", key=kid)
+            d.text = str(val)
+    return ET.tostring(root, encoding="unicode", xml_declaration=True)

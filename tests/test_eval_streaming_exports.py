@@ -361,3 +361,43 @@ class TestStreamingSnapshotSink:
         want_all = ex.triples_table(ex.extract_documents(spark.read.parquet(src)))
         got_all = load_stream_stage(spark, store, "triples_stream")
         assert {key(r) for r in got_all.collect()} == {key(r) for r in want_all.collect()}
+
+
+class TestGraphML:
+    def test_roundtrips_through_elementtree(self, spark):
+        import xml.etree.ElementTree as ET
+
+        from anno_spark.operators.exports import to_graphml
+
+        nodes = spark.createDataFrame(
+            [("Q1", "Alice <&> Smith", "PER", 3), ("coref_5", "Acme", "ORG", 2)],
+            "node_id string, name string, node_type string, n_mentions bigint",
+        )
+        edges = spark.createDataFrame(
+            [("Q1", "coref_5", "WORKS_FOR", 0.7)],
+            "src_node string, dst_node string, relation string, confidence double",
+        )
+        xml = to_graphml(nodes, edges)
+        root = ET.fromstring(xml)
+        ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+        got_nodes = root.findall(".//g:node", ns)
+        got_edges = root.findall(".//g:edge", ns)
+        assert len(got_nodes) == 2 and len(got_edges) == 1
+        names = {d.text for d in root.findall(".//g:node/g:data[@key='d0']", ns)}
+        assert "Alice <&> Smith" in names  # XML escaping round-trips
+        e = got_edges[0]
+        assert e.get("source") == "Q1" and e.get("target") == "coref_5"
+
+    def test_cap_enforced(self, spark):
+        import pytest as _pytest
+
+        from anno_spark.operators.exports import to_graphml
+
+        nodes = spark.range(5).selectExpr(
+            "cast(id as string) node_id", "'n' name", "'PER' node_type", "id n_mentions"
+        )
+        edges = spark.createDataFrame(
+            [], "src_node string, dst_node string, relation string, confidence double"
+        )
+        with _pytest.raises(ValueError):
+            to_graphml(nodes, edges, cap=3)
