@@ -594,6 +594,49 @@ def q_rel_distinct(spark, sf_dir):
     return o.select("o_orderstatus", "o_orderpriority").distinct()
 
 
+def q_rel_asof_join(spark, sf_dir):
+    """Custom temporal operator (Spark has no built-in as-of join):
+    each purchase matched to the user's most recent view at-or-before
+    it. Oracle: DuckDB's native ASOF JOIN — independent derivation."""
+    from anno_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    out = asof_join(
+        e.where("event_type = 'purchase'"),
+        e.where("event_type = 'view'"),
+    )
+    # sentinel-coalesce the unmatched side: nullable numeric columns
+    # round-trip as NaN through pandas on the DuckDB side and hash apart
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.coalesce("r_event_id", F.lit(-1)).alias("view_event_id"),
+        F.coalesce("r_ts", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")).alias("view_ts"),
+        F.coalesce("r_value", F.lit(-1.0)).alias("view_value"),
+    )
+
+
+def q_rel_range_join(spark, sf_dir):
+    """Range join: error events within 10 minutes of a purchase by the
+    same user (equi-join on user + band predicate; no cross join)."""
+    from anno_spark.operators.temporal import range_join
+
+    e = _t(spark, sf_dir, "events")
+    out = range_join(
+        e.where("event_type = 'purchase'"),
+        e.where("event_type = 'error'"),
+        tolerance_seconds=600,
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("r_event_id").alias("error_event_id"),
+        F.round(
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             - F.unix_micros(F.col("r_ts").cast("timestamp"))) / 1_000_000.0,
+            3,
+        ).alias("delta_s"),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -662,6 +705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_latest_order": q_rel_window_latest_order,
         "rel_anti_join": q_rel_anti_join,
         "rel_distinct": q_rel_distinct,
+        "rel_asof_join": q_rel_asof_join,
+        "rel_range_join": q_rel_range_join,
         "events_hourly": q_events_hourly,
     }
     return q
@@ -794,6 +839,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         """,
         "rel_distinct": "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+        # DuckDB's native ASOF JOIN independently re-derives the
+        # union-tag + window implementation
+        "rel_asof_join": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   coalesce(v.event_id, -1) AS view_event_id,
+                   coalesce(v.ts, TIMESTAMP '1970-01-01 00:00:00') AS view_ts,
+                   coalesce(v.value, -1.0) AS view_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "rel_range_join": """
+            SELECT p.event_id, p.user_id, x.event_id AS error_event_id,
+                   round(epoch(p.ts) - epoch(x.ts), 3) AS delta_s
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'error') x
+              ON p.user_id = x.user_id
+             AND abs(epoch(p.ts) - epoch(x.ts)) <= 600
+        """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
                    count(*) AS n_events,
