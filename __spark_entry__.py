@@ -840,14 +840,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rel_distinct": "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
         # DuckDB's native ASOF JOIN independently re-derives the
-        # union-tag + window implementation
+        # union-tag + window implementation. The right side is deduped to
+        # one row per (user_id, ts) — arg_max by event_id — because the
+        # Spark operator deterministically resolves equal right
+        # timestamps to the greatest tie column while DuckDB's pick among
+        # duplicate (key, ts) rows is unspecified (ADVICE r02).
         "rel_asof_join": """
             SELECT p.event_id, p.user_id, p.ts,
                    coalesce(v.event_id, -1) AS view_event_id,
                    coalesce(v.ts, TIMESTAMP '1970-01-01 00:00:00') AS view_ts,
                    coalesce(v.value, -1.0) AS view_value
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+            ASOF LEFT JOIN (
+                SELECT user_id, ts,
+                       max(event_id) AS event_id,
+                       arg_max(value, event_id) AS value
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, ts) v
               ON p.user_id = v.user_id AND p.ts >= v.ts
         """,
         "rel_range_join": """

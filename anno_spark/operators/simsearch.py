@@ -42,13 +42,27 @@ def cosine_topk(
     k: int = 5,
     query_filter: str = "vec_id % 100 = 0",
     vec_col: str = "embedding",
+    max_brute_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Exact top-k neighbors for the query subset (self excluded).
 
     → (query_id, neighbor_id, rank, sim). The query side is broadcast
     (small); ties broken by neighbor_id for determinism.
+
+    This is the BRUTE-FORCE baseline — an all-pairs scan per query,
+    deliberately kept as the correctness oracle for :func:`ivf_topk`. It
+    refuses to run past ``max_brute_rows`` data rows (VERDICT r02 wrong
+    #3: at 10⁹ vectors this path is a scale trap, not a query plan);
+    pass ``max_brute_rows=None`` only for explicit oracle/benchmark use.
     """
     e = embeddings.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
+    if max_brute_rows is not None:
+        if e.limit(max_brute_rows + 1).count() > max_brute_rows:
+            raise ValueError(
+                f"cosine_topk is a brute-force baseline capped at "
+                f"{max_brute_rows} data rows — use ivf_topk for the "
+                f"scale path, or pass max_brute_rows=None to force"
+            )
     q = e.where(query_filter).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -196,9 +210,13 @@ def binary_hash_pairs(
         bh = binary_hash_table(embeddings, vec_col)
     # skew-proof band join (same shape as the dedup blockers): broadcast
     # the build side + round-robin-spread the probe side while the hash
-    # table fits, so a hot band bucket's pair explosion parallelizes
-    bh = bh.localCheckpoint()
-    small = bh.limit(1_000_001).count() <= 1_000_000
+    # table fits, so a hot band bucket's pair explosion parallelizes.
+    # One job: lazy checkpoint + exact count; byte-based broadcast gate
+    # (4 exploded band rows ~24 B + the 8 B hash, per vector).
+    from anno_spark.plans.sizing import checkpoint_count, fits_broadcast
+
+    bh, n_vecs = checkpoint_count(bh)
+    small = fits_broadcast(n_vecs, 4 * 24 + 16)
     maybe_broadcast = F.broadcast if small else (lambda df: df)
     par = bh.sparkSession.sparkContext.defaultParallelism
     bands = bh.select(
@@ -250,7 +268,16 @@ def ivf_topk(
     """IVF approximate top-k: assign every vector to its nearest centroid
     (data side, nprobe=1) and every query to its ``nprobe`` nearest;
     equi-join on centroid_id prunes the candidate set, exact cosine
-    reranks. → (query_id, neighbor_id, rank, sim)."""
+    reranks. → (query_id, neighbor_id, rank, sim).
+
+    The probe join is an equi-join on centroid_id either way; the
+    broadcast hint on the query side is only applied while the exploded
+    query table (rows × nprobe × vector bytes) fits the broadcast budget
+    — a large query TABLE falls back to the shuffled equi-join instead
+    of dying in a driver/executor broadcast OOM (VERDICT r02 wrong #3).
+    Results are identical on both plans (same join, same window)."""
+    from anno_spark.plans.sizing import MAX_BROADCAST_BYTES
+
     cents = train_centroids(embeddings, n_centroids, vec_col=vec_col)
     base = embeddings.select("vec_id", F.col(vec_col).alias("embedding"))
     schema = "vec_id bigint, embedding array<float>, centroid_ids array<int>"
@@ -260,8 +287,14 @@ def ivf_topk(
         _as_double(F.col("embedding")).alias("v"),
         F.element_at("centroid_ids", 1).alias("centroid_id"),
     )
+    q_base = base.where(query_filter)
+    # bounded count: rows the broadcast budget allows, given that each
+    # query explodes nprobe× and carries a dim-wide double array
+    dim = cents.shape[1]
+    max_bq = max(MAX_BROADCAST_BYTES // (nprobe * (dim * 8 + 48)), 1)
+    q_small = q_base.limit(max_bq + 1).count() <= max_bq
     queries = (
-        base.where(query_filter)
+        q_base
         .mapInPandas(_assign_udf(cents, nprobe=nprobe), schema=schema)
         .select(
             F.col("vec_id").alias("query_id"),
@@ -269,9 +302,9 @@ def ivf_topk(
             F.explode("centroid_ids").alias("centroid_id"),
         )
     )
-    j = F.broadcast(queries).join(data, "centroid_id").where(
-        F.col("vec_id") != F.col("query_id")
-    )
+    j = (F.broadcast(queries) if q_small else queries).join(
+        data, "centroid_id"
+    ).where(F.col("vec_id") != F.col("query_id"))
     j = j.withColumn("sim", cosine_sim_expr(F.col("qv"), F.col("v")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (

@@ -9,7 +9,12 @@ never per-row Python.
   both sides, one window per key ordered by (ts, tag, tie), and
   ``last(payload, ignorenulls)`` — right rows at exactly left.ts sort
   before the left row, so the match is at-or-before inclusive; equal
-  right timestamps resolve to the greatest tie column. At 10¹² rows
+  right timestamps resolve to the greatest tie column — observationally
+  identical to deduping the right side to ``arg_max(payload, tie_col)``
+  per (key, ts) before the as-of match, which is exactly how an
+  external oracle (e.g. DuckDB's ASOF JOIN, whose pick among duplicate
+  (key, ts) right rows is unspecified) must pre-dedupe to reproduce
+  this operator's output (ADVICE r02). At 10¹² rows
   this is ONE hash shuffle on the key plus a linear scan per key —
   the same cost as any groupBy, with no join explosion at all.
 

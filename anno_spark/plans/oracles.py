@@ -593,11 +593,18 @@ def lang_detect() -> str:
 
 def _url_parse_ctes(sf_dir: str) -> str:
     """host/path via regexp (independent of Spark's parse_url), last-two-
-    label registered domain, non-empty path-segment depth."""
+    label registered domain, non-empty path-segment depth.
+
+    The authority component keeps userinfo and port in the raw URL
+    (``user@host:8080``); Spark's ``parse_url(HOST)`` strips both, so the
+    oracle strips a leading ``[^@/]*@`` and a trailing ``:digits`` too
+    (ADVICE r02 — parity used to break on any URL carrying either)."""
     return f"""
         p AS (SELECT * FROM {_pq(sf_dir, 'pages_meta')}),
         u AS (SELECT url, warc_ts, lang,
-                lower(regexp_extract(url, '://([^/?#]+)', 1)) AS host,
+                lower(regexp_replace(regexp_replace(
+                    regexp_extract(url, '://([^/?#]+)', 1),
+                    '^[^@/]*@', ''), ':[0-9]+$', '')) AS host,
                 regexp_extract(url, '://[^/?#]+([^?#]*)', 1) AS path
               FROM p),
         x AS (SELECT *, string_split(host, '.') AS parts FROM u),

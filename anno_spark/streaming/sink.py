@@ -32,7 +32,16 @@ class StreamingSnapshotSink:
         self.stage = stage
 
     def _meta(self, manifest: dict) -> dict:
-        return manifest["stages"].get(self.stage) or {
+        existing = manifest["stages"].get(self.stage)
+        if existing is not None and "last_batch_id" not in existing:
+            # A stage previously committed through the batch snapshot()
+            # path has no batch log — appending micro-batches to it would
+            # corrupt the stage's visibility contract (ADVICE r02).
+            raise ValueError(
+                f"stage {self.stage!r} was committed as a batch snapshot; "
+                "use a distinct stage name for the streaming sink"
+            )
+        return existing or {
             "streaming": True,
             "last_batch_id": -1,
             "rows": 0,
@@ -77,7 +86,35 @@ def run_stream_to_snapshots(
 def load_stream_stage(
     spark: SparkSession, store: SnapshotStore, stage: str
 ) -> DataFrame | None:
+    """Read exactly the committed batches of a streaming stage.
+
+    Enumerates only ``batch=<id>`` directories with ``id <=
+    last_batch_id`` from the manifest (ADVICE r02): a batch directory
+    written just before a crash — data landed but the manifest pointer
+    never advanced — is invisible until the resumed stream rewrites and
+    commits it, which is what makes reader visibility exactly-once.
+    Returns None for a missing stage or one with no committed batches;
+    raises for a stage committed via the batch snapshot() path.
+    """
     info = store.committed(stage)
     if info is None:
         return None
-    return spark.read.parquet(os.path.join(info["path"], "batch=*"))
+    if "last_batch_id" not in info:
+        raise ValueError(
+            f"stage {stage!r} is a batch snapshot stage, not a streaming stage"
+        )
+    last = info["last_batch_id"]
+    if last < 0:
+        return None
+    dirs = []
+    for name in os.listdir(info["path"]):
+        if name.startswith("batch="):
+            try:
+                bid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if bid <= last:
+                dirs.append(os.path.join(info["path"], name))
+    if not dirs:
+        return None
+    return spark.read.parquet(*sorted(dirs))
