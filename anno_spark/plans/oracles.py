@@ -32,15 +32,21 @@ from .materialize import oracle_dir
 
 WS = "[ \\t\\n\\r\\f\\v]+"  # must mirror anno_spark.operators.textstats.WS_CLASS
 
-# BPE pre-tokenizer + rolling-hash constants shared verbatim with the
-# Spark side (both regex dialects are leftmost-first, and the pattern
-# avoids lookahead/Unicode classes so Java and RE2 agree).
-from ..operators.textstats import (  # noqa: E402
-    BPE_TOKEN_RE as BPE_RE,
-    ROLL_BASE as ROLL_B,
-    ROLL_MAX_CHARS as ROLL_MAX,
-    ROLL_MOD as ROLL_P,
-)
+# INDEPENDENT literal transcriptions of the Spark-side constants
+# (VERDICT r02 wrong #2: a shared constant lets one transcription bug
+# pass both engines). tests/test_probe_oracles.py asserts each equals
+# its operators/textstats counterpart, so drift fails loudly instead of
+# silently passing both sides.
+BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f\x0B]+"
+ROLL_B = 31
+ROLL_P = 1_000_000_007
+ROLL_MAX = 4096
+
+# Language-ID diacritic classes: alphabetic members of the
+# core/textops frozensets, codepoint-sorted (drift-tested likewise).
+LANG_DE_CHARS = "ÄÖÜßäöü"
+LANG_FR_CHARS = "àâçèéêëîïôùû"
+LANG_ES_CHARS = "áíñóú"
 
 
 def _pq(sf_dir: str, name: str) -> str:
@@ -219,6 +225,96 @@ def kg_edges(sf_dir: str) -> str:
         SELECT src_node, dst_node, relation, count(*) AS n_occurrences,
                max(confidence) AS confidence
         FROM resolved GROUP BY src_node, dst_node, relation
+    """
+
+
+def kg_communities(
+    sf_dir: str, resolution: float = 1.0, max_iterations: int = 15
+) -> str:
+    """Leiden local moving (operators/communities.leiden_communities,
+    strata/src/leiden.rs:58-160 semantics) re-derived as UNROLLED SQL:
+    each round is one gain aggregation + a window argmax + the
+    direction-alternating move gate — all expressible — so ``max_
+    iterations`` rounds are emitted as a generated CTE chain over the
+    materialized node/edge tables (VERDICT r02 next #2).
+
+    Faithful to the Spark loop round-for-round: S(i,d) gain sums over
+    the precomputed per-edge terms, stay-gain with missing-row → 0.0
+    coalesce, best positive move with (delta DESC, cand ASC) tie-break
+    and the 1e-12 threshold, fresh-singleton exit when s_stay < -1e-12
+    and no candidate wins, even rounds move only to smaller community
+    ids / odd rounds only to larger. Unrolling a FIXED round count is
+    exact: the Spark loop stops after 2 quiet rounds, after which both
+    parity classes are move-free, so every further unrolled round is a
+    no-op on identical state.
+
+    Every CTE is ``AS MATERIALIZED``: each round references the previous
+    round's labels three times, so letting DuckDB inline the chain makes
+    planning O(3^rounds) — 15 un-hinted rounds never finish planning."""
+    pre = f"""
+        nodes AS (SELECT node_id FROM {_pq(sf_dir, 'kg_graph_nodes')}),
+        e0 AS (SELECT src_node, dst_node, confidence AS w
+               FROM {_pq(sf_dir, 'kg_graph_edges')}),
+        sym AS MATERIALIZED (
+            SELECT a, b, sum(w) AS w FROM (
+                SELECT src_node AS a, dst_node AS b, w FROM e0
+                UNION ALL
+                SELECT dst_node, src_node, w FROM e0)
+            WHERE a <> b GROUP BY a, b),
+        deg AS MATERIALIZED (SELECT a AS node_id, sum(w) AS k FROM sym GROUP BY a),
+        mv AS (SELECT sum(w) / 2.0 AS m FROM sym),
+        gain_edges AS MATERIALIZED (
+            SELECT sym.a, sym.b,
+                   sym.w - {resolution} * ka.k * kb.k / (2.0 * (SELECT m FROM mv)) AS g
+            FROM sym
+            JOIN deg ka ON sym.a = ka.node_id
+            JOIN deg kb ON sym.b = kb.node_id),
+        labels_0 AS MATERIALIZED (SELECT node_id, node_id AS community_id FROM nodes)"""
+    rounds = []
+    prev = "labels_0"
+    for it in range(max_iterations):
+        gate = "<" if it % 2 == 0 else ">"
+        r = it + 1
+        rounds.append(f"""
+        s_{r} AS MATERIALIZED (
+            SELECT ge.a AS node_id, lb.community_id AS cand, sum(ge.g) AS s
+            FROM gain_edges ge JOIN {prev} lb ON ge.b = lb.node_id
+            GROUP BY 1, 2),
+        sc_{r} AS MATERIALIZED (
+            SELECT s.node_id, s.cand, s.s, cur.community_id AS cur_comm
+            FROM s_{r} s JOIN {prev} cur ON s.node_id = cur.node_id),
+        stay_{r} AS MATERIALIZED (
+            SELECT node_id, cur_comm, s AS s_stay FROM sc_{r} WHERE cand = cur_comm),
+        cand_{r} AS MATERIALIZED (
+            SELECT sc.node_id, sc.cand, sc.cur_comm,
+                   sc.s - coalesce(st.s_stay, 0.0) AS delta
+            FROM sc_{r} sc LEFT JOIN stay_{r} st ON sc.node_id = st.node_id
+            WHERE sc.cand <> sc.cur_comm),
+        best_{r} AS MATERIALIZED (
+            SELECT node_id, cand AS move_to, cur_comm FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY node_id ORDER BY delta DESC, cand ASC) AS rn
+                FROM cand_{r})
+            WHERE rn = 1 AND delta > 1e-12),
+        solo_{r} AS MATERIALIZED (
+            SELECT st.node_id, st.node_id AS move_to, st.cur_comm
+            FROM stay_{r} st
+            WHERE st.s_stay < -1e-12
+              AND NOT EXISTS (SELECT 1 FROM best_{r} b WHERE b.node_id = st.node_id)),
+        moves_{r} AS MATERIALIZED (
+            SELECT node_id, move_to FROM (
+                SELECT * FROM best_{r} UNION ALL SELECT * FROM solo_{r})
+            WHERE move_to {gate} cur_comm),
+        labels_{r} AS MATERIALIZED (
+            SELECT l.node_id, coalesce(m.move_to, l.community_id) AS community_id
+            FROM {prev} l LEFT JOIN moves_{r} m ON l.node_id = m.node_id)""")
+        prev = f"labels_{r}"
+    return f"""
+        WITH {pre},{','.join(rounds)},
+        canon AS (SELECT community_id, min(node_id) AS canon_id
+                  FROM {prev} GROUP BY community_id)
+        SELECT l.node_id, c.canon_id AS community_id
+        FROM {prev} l JOIN canon c ON l.community_id = c.community_id
     """
 
 
@@ -539,25 +635,21 @@ def doc_quality(stopwords) -> str:
 def lang_detect() -> str:
     """Transcription of textops.detect_language (lang.rs:54-120 port):
     per-script character counts, weighted Latin diacritics, first-max
-    argmax in _LANGS order, Han+kana → ja override."""
-    from anno_spark.core.textops import (
-        _FRENCH_CHARS,
-        _GERMAN_CHARS,
-        _SPANISH_CHARS,
-    )
+    argmax in _LANGS order, Han+kana → ja override. The diacritic
+    classes are the module-level INDEPENDENT literals (drift-tested),
+    not imports from the Spark-side module."""
 
-    def count_expr(chars, weight: int = 1) -> str:
+    def count_expr(inner: str, weight: int = 1) -> str:
         # chars-in-class count via regexp_replace; alphabetic members only
         # (detect_language skips non-alpha before bucketing)
-        inner = "".join(sorted(c for c in chars if c.isalpha()))
         e = f"length(regexp_replace(text, '[^{inner}]', '', 'g'))"
         return e if weight == 1 else f"{weight} * {e}"
 
     counts = {
         "en": "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))",
-        "de": count_expr(_GERMAN_CHARS, 10),
-        "fr": count_expr(_FRENCH_CHARS, 5),
-        "es": count_expr(_SPANISH_CHARS, 5),
+        "de": count_expr(LANG_DE_CHARS, 10),
+        "fr": count_expr(LANG_FR_CHARS, 5),
+        "es": count_expr(LANG_ES_CHARS, 5),
         "it": "0",
         "pt": "0",
         "ru": r"length(regexp_replace(text, '[^\x{0400}-\x{04FF}]', '', 'g'))",
