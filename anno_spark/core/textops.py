@@ -194,6 +194,56 @@ def extract_text_from_html(html: str) -> str:
 _ZERO_WIDTH = ("​", "‌", "‍", "﻿")
 
 
+def normalize_unicode_basic(text: str) -> str:
+    """preprocessor.rs:74-86 — the ``normalize_unicode`` flag: strip the
+    four zero-width characters (U+200B/200C/200D/FEFF). The reference
+    does "basic normalization without external crate", i.e. exactly
+    this filter, not full NFC."""
+    for z in _ZERO_WIDTH:
+        text = text.replace(z, "")
+    return text
+
+
+def clean_whitespace(text: str) -> str:
+    """preprocessor.rs:88-119 — the ``clean_whitespace`` flag: CRLF and
+    bare CR → LF, then collapse every whitespace run to a single char
+    ('\\n' when the run's first char is a newline, else ' '; a later
+    newline in a run only survives if nothing newline-ish was emitted
+    yet — the reference's exact loop), then trim."""
+    text = text.replace("\r\n", "\n").replace("\r", "\n")
+    out: list[str] = []
+    last_was_space = False
+    for c in text:
+        if c in _WHITE_SPACE:
+            if not last_was_space:
+                out.append("\n" if c == "\n" else " ")
+                last_was_space = True
+            elif c == "\n" and (not out or out[-1] != "\n"):
+                out.append("\n")
+        else:
+            out.append(c)
+            last_was_space = False
+    # Rust str::trim — char::is_whitespace at both ends
+    s, e = 0, len(out)
+    while s < e and out[s] in _WHITE_SPACE:
+        s += 1
+    while e > s and out[e - 1] in _WHITE_SPACE:
+        e -= 1
+    return "".join(out[s:e])
+
+
+def prepare(text: str, clean: bool = False, normalize: bool = False) -> str:
+    """DocumentPreprocessor::prepare (preprocessor.rs:60-129) for the
+    extract-command flags (extract.rs:118-133): ``normalize`` (unicode)
+    runs first, then ``clean`` (whitespace). Both default off — the
+    golden extraction path is byte-identical to the raw text."""
+    if normalize:
+        text = normalize_unicode_basic(text)
+    if clean:
+        text = clean_whitespace(text)
+    return text
+
+
 def preprocess(text: str) -> str:
     """Remove zero-width chars, CRLF→LF, collapse intra-line whitespace runs
     to one space preserving newlines / paragraph breaks, trim."""

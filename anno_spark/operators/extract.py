@@ -104,15 +104,23 @@ def detect_lang_udf():
 # full per-document extraction (N1–N4 + R1 + C1–C3)
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches(
+    batches: Iterator[pd.DataFrame], clean: bool = False, normalize: bool = False
+) -> Iterator[pd.DataFrame]:
     from anno_spark.core.annotations import detect_quantifier, is_negated
     from anno_spark.core.document import extract_document
     from anno_spark.core.events import extract_events_with_entities
+    from anno_spark.core.textops import prepare
 
     for pdf in batches:
         rows = []
         for url, text in zip(pdf["url"], pdf["text"]):
             text = text or ""
+            if clean or normalize:
+                # T2 flags (extract.rs:118-133): preprocess before
+                # extraction; offsets are into the PREPARED text, as in
+                # the reference CLI's non-golden path
+                text = prepare(text, clean=clean, normalize=normalize)
             ext = extract_document(text)
             # R2 runs in the SAME pass over the mentions already extracted
             # (events.rs:1178-1217 entity-aware argument filling): the NER
@@ -194,13 +202,29 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def extract_documents(pages: DataFrame, text_col: str = "text") -> DataFrame:
+def extract_documents(
+    pages: DataFrame,
+    text_col: str = "text",
+    clean: bool = False,
+    normalize: bool = False,
+) -> DataFrame:
     """pages → extracted (url, mentions[], triples[], tracks[], metrics).
 
     Reads only (url, text): when the input already carries the extracted
     text (input_hint), html is never scanned.
+
+    ``clean`` / ``normalize`` are the reference CLI's T2 preprocessing
+    opt-ins (extract.rs:118-133 → preprocessor.rs:60-129), applied
+    inside the SAME fused pass — no extra stage, no second Arrow
+    transfer. Both default off: the golden path is byte-identical
+    extraction over the raw text.
     """
     src = pages.select("url", F.col(text_col).alias("text"))
+    if clean or normalize:
+        def run(batches):
+            return _extract_batches(batches, clean=clean, normalize=normalize)
+
+        return src.mapInPandas(run, schema=EXTRACTED_SCHEMA)
     return src.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
 
 

@@ -116,6 +116,160 @@ class KeywordModel(MlModel):
         return out
 
 
+class NumpyTransformerModel(MlModel):
+    """A real tensor workload behind the seam: a tiny pure-numpy
+    transformer encoder (hash-embedding tokenizer → sinusoidal positions
+    → ``n_layers`` of multi-head self-attention + FFN with residuals and
+    layer norm → per-token class logits → contiguous-run span decoding).
+
+    The sandbox has no onnxruntime/torch, so real GLiNER/BERT weights
+    (anno/src/backends/onnx.rs:1-660, gliner_onnx.rs) cannot execute —
+    but everything the executor seam must survive with a real model IS
+    exercised here: weights synthesized once per worker (~1.5 MB,
+    deterministic from ``seed``), whole-batch padded tensor inference
+    (batch × seq × dim matmuls, softmax attention with padding masks),
+    and char-offset span emission. Predictions are arbitrary but fully
+    deterministic, so tests can assert driver-local == through-Spark
+    parity and per-worker cache reuse under a model-shaped CPU/memory
+    profile (VERDICT r02 next #6).
+    """
+
+    _TOKEN_RE = None  # compiled lazily (keeps import numpy-free paths light)
+
+    def __init__(self, dim: int = 64, n_layers: int = 2, n_heads: int = 4,
+                 vocab_size: int = 4096, max_len: int = 128, seed: int = 1234,
+                 name: str = "numpy-mini-transformer"):
+        import numpy as np
+
+        self.name = name
+        self.dim, self.n_layers, self.n_heads = dim, n_layers, n_heads
+        self.vocab_size, self.max_len = vocab_size, max_len
+        self.labels = ("O", "PER", "ORG", "LOC")
+        rng = np.random.RandomState(seed)
+        s = 1.0 / np.sqrt(dim)
+
+        def w(*shape):
+            return rng.standard_normal(shape) * s
+
+        self.embed = w(vocab_size, dim)
+        self.layers = [
+            {
+                "wq": w(dim, dim), "wk": w(dim, dim), "wv": w(dim, dim),
+                "wo": w(dim, dim),
+                "w1": w(dim, 4 * dim), "b1": np.zeros(4 * dim),
+                "w2": w(4 * dim, dim), "b2": np.zeros(dim),
+            }
+            for _ in range(n_layers)
+        ]
+        self.head = w(dim, len(self.labels))
+        # sinusoidal positions
+        pos = np.arange(max_len)[:, None]
+        i = np.arange(dim)[None, :]
+        angle = pos / np.power(10000.0, (2 * (i // 2)) / dim)
+        pe = np.where(i % 2 == 0, np.sin(angle), np.cos(angle))
+        self.pos_enc = pe
+
+    @staticmethod
+    def _tokenize(text: str):
+        """whitespace tokens with char offsets."""
+        import re
+
+        if NumpyTransformerModel._TOKEN_RE is None:
+            NumpyTransformerModel._TOKEN_RE = re.compile(r"\S+")
+        return [
+            (m.group(), m.start(), m.end())
+            for m in NumpyTransformerModel._TOKEN_RE.finditer(text)
+        ]
+
+    def _token_ids(self, tokens):
+        # FNV-1a over the token bytes → embedding row (hash embedding)
+        ids = []
+        for tok, _, _ in tokens:
+            h = 0xCBF29CE484222325
+            for b in tok.lower().encode("utf-8"):
+                h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            ids.append(h % self.vocab_size)
+        return ids
+
+    @staticmethod
+    def _layer_norm(x, eps=1e-5):
+        mu = x.mean(axis=-1, keepdims=True)
+        var = x.var(axis=-1, keepdims=True)
+        return (x - mu) / (var + eps) ** 0.5
+
+    def _encode(self, ids_batch, mask):
+        """ids_batch (B, L) int, mask (B, L) bool → logits (B, L, C)."""
+        import numpy as np
+
+        x = self.embed[ids_batch] + self.pos_enc[None, : ids_batch.shape[1]]
+        hd = self.dim // self.n_heads
+        neg = np.float64(-1e9)
+        for ly in self.layers:
+            q = x @ ly["wq"]; k = x @ ly["wk"]; v = x @ ly["wv"]
+            B, L, D = q.shape
+
+            def split(t):
+                return t.reshape(B, L, self.n_heads, hd).transpose(0, 2, 1, 3)
+
+            qs, ks, vs = split(q), split(k), split(v)
+            att = qs @ ks.transpose(0, 1, 3, 2) / np.sqrt(hd)
+            att = np.where(mask[:, None, None, :], att, neg)
+            att = att - att.max(axis=-1, keepdims=True)
+            att = np.exp(att)
+            att = att / att.sum(axis=-1, keepdims=True)
+            ctx = (att @ vs).transpose(0, 2, 1, 3).reshape(B, L, D)
+            x = self._layer_norm(x + ctx @ ly["wo"])
+            ff = np.maximum(x @ ly["w1"] + ly["b1"], 0.0) @ ly["w2"] + ly["b2"]
+            x = self._layer_norm(x + ff)
+        return x @ self.head
+
+    def extract_batch(self, texts: list[str]) -> list[list[dict]]:
+        import numpy as np
+
+        toks_per_doc = [self._tokenize(t or "")[: self.max_len] for t in texts]
+        L = max((len(t) for t in toks_per_doc), default=0)
+        if L == 0:
+            return [[] for _ in texts]
+        B = len(texts)
+        ids = np.zeros((B, L), dtype=np.int64)
+        mask = np.zeros((B, L), dtype=bool)
+        for bi, toks in enumerate(toks_per_doc):
+            tid = self._token_ids(toks)
+            ids[bi, : len(tid)] = tid
+            mask[bi, : len(tid)] = True
+        logits = self._encode(ids, mask)
+        # softmax confidence per token
+        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        probs = e / e.sum(axis=-1, keepdims=True)
+        pred = logits.argmax(axis=-1)
+        out = []
+        for bi, toks in enumerate(toks_per_doc):
+            ents, j, n = [], 0, len(toks)
+            while j < n:
+                lab = int(pred[bi, j])
+                if self.labels[lab] == "O":
+                    j += 1
+                    continue
+                k = j
+                while k + 1 < n and int(pred[bi, k + 1]) == lab:
+                    k += 1
+                start = toks[j][1]
+                end = toks[k][2]
+                conf = float(np.round(probs[bi, j : k + 1, lab].mean(), 6))
+                ents.append(
+                    {
+                        "text": texts[bi][start:end],
+                        "entity_type": self.labels[lab],
+                        "start": start,
+                        "end": end,
+                        "confidence": conf,
+                    }
+                )
+                j = k + 1
+            out.append(ents)
+        return out
+
+
 # per-Python-worker model cache: an ONNX session costs seconds to build
 # and hundreds of MB — it must be constructed once per executor process
 # (NOT per Arrow batch, NOT per task) and reused for the worker lifetime

@@ -87,3 +87,91 @@ class TestExecutorSeam:
         a = ml_ner._worker_model(factory, "cache-test")
         b = ml_ner._worker_model(factory, "cache-test")
         assert a is b and len(calls) == 1
+
+
+class TestNumpyTransformer:
+    """VERDICT r02 next #6: the seam exercised by a real tensor workload
+    (batch matmuls, attention masks, span decoding), not just string
+    search."""
+
+    def _texts(self):
+        return [
+            "Alice met Bob at the Paris office of Initech Corp yesterday.",
+            "quarterly revenue grew while the board met in Berlin",
+            "",
+            "one",
+            "Server logs show errors from the Tokyo cluster after the deploy "
+            "finished and the team rolled back the release candidate build.",
+        ]
+
+    def test_deterministic_and_batch_independent(self):
+        from anno_spark.operators.ml_ner import NumpyTransformerModel
+
+        m1 = NumpyTransformerModel()
+        m2 = NumpyTransformerModel()
+        texts = self._texts()
+        full = m1.extract_batch(texts)
+        assert full == m2.extract_batch(texts)  # same seed → same weights
+        # padding to a different batch max-length must not change a doc's
+        # spans (masked positions contribute exactly zero attention)
+        for i, t in enumerate(texts):
+            assert m1.extract_batch([t])[0] == full[i], i
+
+    def test_span_offsets_are_real(self):
+        from anno_spark.operators.ml_ner import NumpyTransformerModel
+
+        m = NumpyTransformerModel()
+        texts = self._texts()
+        for t, ents in zip(texts, m.extract_batch(texts)):
+            for e in ents:
+                assert t[e["start"]:e["end"]] == e["text"]
+                assert e["entity_type"] in ("PER", "ORG", "LOC")
+                assert 0.0 <= e["confidence"] <= 1.0
+        # the model is arbitrary but must actually emit spans on real text
+        assert any(m.extract_batch(texts))
+
+    def test_parity_through_spark_seam(self, spark):
+        """Driver-local inference == through-Spark inference (arbitrary
+        Arrow batching, per-worker weight synthesis via the cache)."""
+        from anno_spark.operators.ml_ner import (
+            NumpyTransformerModel,
+            ml_mentions_table,
+        )
+
+        texts = self._texts() * 8  # spread over several partitions/batches
+        pages = spark.createDataFrame(
+            [(f"u{i}", t) for i, t in enumerate(texts)], "url string, text string"
+        ).repartition(8)
+        rows = ml_mentions_table(
+            pages, NumpyTransformerModel, cache_key="numpy-mini"
+        ).collect()
+        got: dict = {}
+        for r in rows:
+            got.setdefault(r["url"], []).append(
+                {
+                    "text": r["text"], "entity_type": r["entity_type"],
+                    "start": r["start"], "end": r["end"],
+                    "confidence": r["confidence"],
+                }
+            )
+        local = NumpyTransformerModel()
+        for i, t in enumerate(texts):
+            expect = local.extract_batch([t])[0]
+            assert got.get(f"u{i}", []) == expect, i
+        assert all(r["model"] == "numpy-mini-transformer" for r in rows)
+
+    def test_weights_synthesized_once_per_worker(self):
+        from anno_spark.operators import ml_ner
+
+        builds = []
+
+        def factory():
+            builds.append(1)
+            return ml_ner.NumpyTransformerModel()
+
+        ml_ner._MODEL_CACHE.pop("numpy-cache-test", None)
+        a = ml_ner._worker_model(factory, "numpy-cache-test")
+        b = ml_ner._worker_model(factory, "numpy-cache-test")
+        assert a is b and len(builds) == 1
+        # the cached object really carries the synthesized tensors
+        assert a.embed.shape == (a.vocab_size, a.dim)
