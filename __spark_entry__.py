@@ -265,6 +265,27 @@ def q_kg_communities(spark, sf_dir):
     )
 
 
+def q_kg_communities_l2(spark, sf_dir):
+    """L2 — HierarchicalLeiden (strata/src/lib.rs:38-112): level k is an
+    independent Leiden run on the SAME graph at resolution γ·2^k. The
+    oracle unions the unrolled-SQL transcription at both resolutions."""
+    from anno_spark.operators import graph as g
+    from anno_spark.operators.communities import hierarchical_communities
+    from anno_spark.plans.materialize import materialize
+
+    nodes = g.nodes_table(_idents(spark, sf_dir))
+    edges = g.edges_table(
+        _triples(spark, sf_dir), _keyed_surfaces(spark, sf_dir), nodes
+    )
+    gnodes = materialize(nodes.select("node_id"), sf_dir, "kg_graph_nodes")
+    gedges = materialize(
+        edges.select("src_node", "dst_node", "confidence"), sf_dir, "kg_graph_edges"
+    )
+    return hierarchical_communities(
+        gnodes, gedges, levels=2, resolution=1.0, weight_col="confidence"
+    )
+
+
 def q_kg_entity_links(spark, sf_dir):
     from anno_spark.operators import linking
     from anno_spark.plans.materialize import materialize
@@ -570,6 +591,82 @@ _TRACK_PROBE_ORACLE = f"""
     UNION ALL
     SELECT doc_id, CAST(1 AS INTEGER), lower(og), 'ORG', '1', CAST(1 AS INTEGER)
     FROM p
+"""
+
+
+def q_kg_probe_ner_eval(spark, sf_dir):
+    """E1 driver-visible: exact-mode NER P/R/F1 of the REAL extraction
+    stack against a planted gold with controlled errors — gold omits the
+    second org when doc_id%5==0 (→ false positives) and adds a phantom
+    mention when doc_id%3==0 (→ false negatives). The oracle re-derives
+    pred positionally AND recomputes the full-outer-join PRF in SQL."""
+    from anno_spark.eval.ner_eval import ner_prf_exact_df
+    from anno_spark.operators import extract as ex
+
+    m = ex.mentions_table(ex.extract_documents(_gaz_probe_pages(spark, sf_dir)))
+    pred = m.where(F.col("pattern") == "known_org").select(
+        "url", "start", "end", "entity_type"
+    )
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pool = F.array(*[F.lit(o) for o in _PROBE_ORGS])
+    o1 = F.element_at(pool, (did % 24 + 1).cast("int"))
+    o2 = F.element_at(pool, ((did * 7 + 3) % 24 + 1).cast("int"))
+    url = did.cast("string")
+    g1 = d.select(
+        url.alias("url"), F.lit(10).alias("start"),
+        (F.lit(10) + F.length(o1)).alias("end"), F.lit("ORG").alias("entity_type"),
+    )
+    g2 = d.where(did % 5 != 0).select(
+        url.alias("url"), (F.lit(31) + F.length(o1)).alias("start"),
+        (F.lit(31) + F.length(o1) + F.length(o2)).alias("end"),
+        F.lit("ORG").alias("entity_type"),
+    )
+    g3 = d.where(did % 3 == 0).select(
+        url.alias("url"), F.lit(997).alias("start"), F.lit(999).alias("end"),
+        F.lit("ORG").alias("entity_type"),
+    )
+    gold = g1.unionByName(g2).unionByName(g3)
+    return ner_prf_exact_df(pred, gold)
+
+
+_NER_EVAL_PROBE_ORACLE = f"""
+    WITH p AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS url,
+             {_sql_strs(_PROBE_ORGS)}[cast(doc_id % 24 as int) + 1] AS o1,
+             {_sql_strs(_PROBE_ORGS)}[cast((doc_id * 7 + 3) % 24 as int) + 1] AS o2
+      FROM documents),
+    pred AS (
+      SELECT url, 10 AS start, 10 + length(o1) AS "end", 'ORG' AS entity_type FROM p
+      UNION ALL
+      SELECT url, 31 + length(o1), 31 + length(o1) + length(o2), 'ORG' FROM p),
+    gold AS (
+      SELECT url, 10 AS start, 10 + length(o1) AS "end", 'ORG' AS entity_type FROM p
+      UNION ALL
+      SELECT url, 31 + length(o1), 31 + length(o1) + length(o2), 'ORG'
+      FROM p WHERE doc_id % 5 <> 0
+      UNION ALL
+      SELECT url, 997, 999, 'ORG' FROM p WHERE doc_id % 3 = 0),
+    pk AS (SELECT url, start, "end", entity_type, count(*) AS n_pred
+           FROM pred GROUP BY 1, 2, 3, 4),
+    gk AS (SELECT url, start, "end", entity_type, count(*) AS n_gold
+           FROM gold GROUP BY 1, 2, 3, 4),
+    j AS (SELECT coalesce(pk.n_pred, 0) AS n_pred, coalesce(gk.n_gold, 0) AS n_gold
+          FROM pk FULL OUTER JOIN gk
+            ON pk.url = gk.url AND pk.start = gk.start
+           AND pk."end" = gk."end" AND pk.entity_type = gk.entity_type),
+    agg AS (SELECT CAST(sum(n_pred) AS BIGINT) AS n_pred,
+                   CAST(sum(n_gold) AS BIGINT) AS n_gold,
+                   CAST(sum(least(n_pred, n_gold)) AS BIGINT) AS n_matched
+            FROM j)
+    SELECT round(CASE WHEN n_pred > 0 THEN n_matched * 1.0 / n_pred ELSE 0.0 END, 6) AS precision,
+           round(CASE WHEN n_gold > 0 THEN n_matched * 1.0 / n_gold ELSE 0.0 END, 6) AS recall,
+           round(CASE WHEN n_matched > 0
+                      THEN 2.0 * (n_matched * 1.0 / n_pred) * (n_matched * 1.0 / n_gold)
+                           / ((n_matched * 1.0 / n_pred) + (n_matched * 1.0 / n_gold))
+                      ELSE 0.0 END, 6) AS f1,
+           n_pred, n_gold, n_matched
+    FROM agg
 """
 
 
@@ -922,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extraction_metrics": q_kg_extraction_metrics,
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_communities": q_kg_communities,
+        "kg_communities_l2": q_kg_communities_l2,
         "kg_entity_links": q_kg_entity_links,
         # NER pattern extraction (oracled per-pattern)
         "ner_emails": _pattern_query("EMAIL"),
@@ -938,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ner_gazetteer_orgs": q_ner_gazetteer_orgs,
         "kg_probe_triples": q_kg_probe_triples,
         "kg_probe_tracks": q_kg_probe_tracks,
+        "kg_probe_ner_eval": q_kg_probe_ner_eval,
         # dedup / text analysis
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -998,6 +1097,7 @@ def oracle_sql() -> dict[str, str]:
         # generated SQL CTEs (each round = one gain agg + window argmax
         # + direction gate) — closes the r02 `err: no_oracle` row
         "kg_communities": O.kg_communities(sf, 1.0, 15),
+        "kg_communities_l2": O.kg_communities_l2(sf, 1.0, 2, 15),
         # NER patterns
         "ner_emails": _pattern_oracle(ORACLE_SAFE_PATTERNS["EMAIL"]),
         "ner_iso_dates": _pattern_oracle(ORACLE_SAFE_PATTERNS["DATE_ISO"]),
@@ -1010,6 +1110,7 @@ def oracle_sql() -> dict[str, str]:
         "ner_gazetteer_orgs": _GAZ_ORACLE,
         "kg_probe_triples": _REL_PROBE_ORACLE,
         "kg_probe_tracks": _TRACK_PROBE_ORACLE,
+        "kg_probe_ner_eval": _NER_EVAL_PROBE_ORACLE,
         # dedup
         "dedup_exact": f"""
             SELECT md5(lower(regexp_replace(trim(text), '{O.WS}', ' ', 'g'))) AS fingerprint,

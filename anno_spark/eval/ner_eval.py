@@ -34,19 +34,37 @@ def _prf(n_pred, n_gold, n_matched) -> NerPRF:
     return NerPRF(p, r, f1, n_pred, n_gold, n_matched)
 
 
-def ner_prf_exact(pred: DataFrame, gold: DataFrame) -> NerPRF:
+def ner_prf_exact_df(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """The exact-mode PRF as a one-row DataFrame (no collect): multiset
+    matching on (url, start, end, entity_type) via a full-outer join,
+    then the P/R/F1 arithmetic as JVM expressions — driver-oracle-able
+    and composable into larger eval pipelines."""
     pk = pred.groupBy(*_KEY).agg(F.count("*").alias("n_pred"))
     gk = gold.groupBy(*_KEY).agg(F.count("*").alias("n_gold"))
     j = pk.join(gk, _KEY, "full_outer").select(
         F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
         F.coalesce("n_gold", F.lit(0)).alias("n_gold"),
     )
-    row = j.agg(
-        F.sum("n_pred").alias("p"),
-        F.sum("n_gold").alias("g"),
-        F.sum(F.least("n_pred", "n_gold")).alias("m"),
-    ).collect()[0]
-    return _prf(row["p"] or 0, row["g"] or 0, row["m"] or 0)
+    agg = j.agg(
+        F.sum("n_pred").alias("n_pred"),
+        F.sum("n_gold").alias("n_gold"),
+        F.sum(F.least("n_pred", "n_gold")).alias("n_matched"),
+    )
+    p = F.when(F.col("n_pred") > 0, F.col("n_matched") / F.col("n_pred")).otherwise(0.0)
+    r = F.when(F.col("n_gold") > 0, F.col("n_matched") / F.col("n_gold")).otherwise(0.0)
+    return agg.select(
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(
+            F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(0.0), 6
+        ).alias("f1"),
+        "n_pred", "n_gold", "n_matched",
+    )
+
+
+def ner_prf_exact(pred: DataFrame, gold: DataFrame) -> NerPRF:
+    row = ner_prf_exact_df(pred, gold).collect()[0]
+    return _prf(row["n_pred"] or 0, row["n_gold"] or 0, row["n_matched"] or 0)
 
 
 def ner_prf_partial(pred: DataFrame, gold: DataFrame) -> NerPRF:

@@ -318,6 +318,33 @@ def kg_communities(
     """
 
 
+def kg_communities_l2(
+    sf_dir: str,
+    resolution: float = 1.0,
+    levels: int = 2,
+    max_iterations: int = 15,
+) -> str:
+    """HierarchicalLeiden (strata/src/lib.rs:38-112): one independent
+    unrolled local-moving chain per level at resolution γ·2^level over
+    the SAME materialized graph, joined on node_id — mirrors
+    operators/communities.hierarchical_communities exactly."""
+    ctes = []
+    for level in range(levels):
+        inner = kg_communities(sf_dir, resolution * (2.0 ** level), max_iterations)
+        ctes.append(f"lvl{level} AS MATERIALIZED (SELECT * FROM ({inner}))")
+    joins = "".join(
+        f" LEFT JOIN lvl{k} ON lvl0.node_id = lvl{k}.node_id"
+        for k in range(1, levels)
+    )
+    cols = ", ".join(
+        f"lvl{k}.community_id AS level_{k}" for k in range(levels)
+    )
+    return f"""
+        WITH {','.join(ctes)}
+        SELECT lvl0.node_id, {cols} FROM lvl0{joins}
+    """
+
+
 def kg_cooccurrence(sf_dir: str, max_distance: int = 100) -> str:
     return f"""
         WITH m AS (SELECT url, mention_idx, text, entity_type, start, "end"
