@@ -243,23 +243,38 @@ def q_kg_cooccurrence(spark, sf_dir):
     return cooccurrence_edges(_mentions(spark, sf_dir), max_distance=100)
 
 
-def q_kg_communities(spark, sf_dir):
-    """L1 Leiden local moving. The node/edge inputs are materialized so
-    the DuckDB oracle (plans/oracles.kg_communities) can re-run the SAME
-    direction-alternating rounds as unrolled SQL CTEs — the r02 scoreboard
-    gap (`err: no_oracle`) closed per VERDICT r02 next #2."""
+def _graph_tables(spark, sf_dir):
+    """The materialized KG node/edge tables shared by the communities and
+    export queries — their DuckDB oracles re-derive from these parquet
+    bytes (unrolled local moving / SQL string building)."""
     from anno_spark.operators import graph as g
-    from anno_spark.operators.communities import leiden_communities
     from anno_spark.plans.materialize import materialize
 
     nodes = g.nodes_table(_idents(spark, sf_dir))
     edges = g.edges_table(
         _triples(spark, sf_dir), _keyed_surfaces(spark, sf_dir), nodes
     )
-    gnodes = materialize(nodes.select("node_id"), sf_dir, "kg_graph_nodes")
-    gedges = materialize(
-        edges.select("src_node", "dst_node", "confidence"), sf_dir, "kg_graph_edges"
+    gnodes = materialize(
+        nodes.select("node_id", "name", "node_type", "n_mentions"),
+        sf_dir,
+        "kg_graph_nodes",
     )
+    gedges = materialize(
+        edges.select("src_node", "dst_node", "relation", "confidence"),
+        sf_dir,
+        "kg_graph_edges",
+    )
+    return gnodes, gedges
+
+
+def q_kg_communities(spark, sf_dir):
+    """L1 Leiden local moving. The node/edge inputs are materialized so
+    the DuckDB oracle (plans/oracles.kg_communities) can re-run the SAME
+    direction-alternating rounds as unrolled SQL CTEs — the r02 scoreboard
+    gap (`err: no_oracle`) closed per VERDICT r02 next #2."""
+    from anno_spark.operators.communities import leiden_communities
+
+    gnodes, gedges = _graph_tables(spark, sf_dir)
     return leiden_communities(
         gnodes, gedges, resolution=1.0, weight_col="confidence"
     )
@@ -269,21 +284,23 @@ def q_kg_communities_l2(spark, sf_dir):
     """L2 — HierarchicalLeiden (strata/src/lib.rs:38-112): level k is an
     independent Leiden run on the SAME graph at resolution γ·2^k. The
     oracle unions the unrolled-SQL transcription at both resolutions."""
-    from anno_spark.operators import graph as g
     from anno_spark.operators.communities import hierarchical_communities
-    from anno_spark.plans.materialize import materialize
 
-    nodes = g.nodes_table(_idents(spark, sf_dir))
-    edges = g.edges_table(
-        _triples(spark, sf_dir), _keyed_surfaces(spark, sf_dir), nodes
-    )
-    gnodes = materialize(nodes.select("node_id"), sf_dir, "kg_graph_nodes")
-    gedges = materialize(
-        edges.select("src_node", "dst_node", "confidence"), sf_dir, "kg_graph_edges"
-    )
+    gnodes, gedges = _graph_tables(spark, sf_dir)
     return hierarchical_communities(
         gnodes, gedges, levels=2, resolution=1.0, weight_col="confidence"
     )
+
+
+def q_kg_export_cypher(spark, sf_dir):
+    """S5 driver-visible: the DISTRIBUTED Cypher renderer (one statement
+    per row, all string building in JVM expressions) over the
+    materialized graph; the oracle rebuilds every statement with SQL
+    string functions (escape, identifier sanitize, interpolation)."""
+    from anno_spark.operators.exports import cypher_statements
+
+    gnodes, gedges = _graph_tables(spark, sf_dir)
+    return cypher_statements(gnodes, gedges)
 
 
 def q_kg_entity_links(spark, sf_dir):
@@ -591,6 +608,78 @@ _TRACK_PROBE_ORACLE = f"""
     UNION ALL
     SELECT doc_id, CAST(1 AS INTEGER), lower(og), 'ORG', '1', CAST(1 AS INTEGER)
     FROM p
+"""
+
+
+def q_kg_probe_rel_eval(spark, sf_dir):
+    """E2 driver-visible: strict triple matching (head span + tail span
+    exact, relation case-insensitive, 1-1) of the REAL relation
+    extractor against a planted gold with controlled errors — gold omits
+    the triple when doc_id%7==0 (→ FP) and adds a phantom triple when
+    doc_id%4==0 (→ FN). Counts computed by eval/relation_eval; the
+    oracle re-derives predictions positionally and recomputes the strict
+    full-outer-join matching in SQL."""
+    from anno_spark.eval.relation_eval import strict_match_counts
+    from anno_spark.operators import extract as ex
+
+    t = ex.triples_table(ex.extract_documents(_rel_probe_pages(spark, sf_dir)))
+    pred = t.select("url", "subj_start", "subj_end", "obj_start", "obj_end", "pred")
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pn = F.element_at(
+        F.array(*[F.lit(x) for x in _PROBE_PERSONS]), (did % 16 + 1).cast("int")
+    )
+    og = F.element_at(
+        F.array(*[F.lit(x) for x in _PROBE_ORGS]), ((did * 5 + 1) % 24 + 1).cast("int")
+    )
+    url = did.cast("string")
+    lp = F.length(pn)
+    g1 = d.where(did % 7 != 0).select(
+        url.alias("url"),
+        F.lit(8).alias("subj_start"), (F.lit(8) + lp).alias("subj_end"),
+        (F.lit(17) + lp).alias("obj_start"),
+        (F.lit(17) + lp + F.length(og)).alias("obj_end"),
+        F.lit("ceo_of").alias("pred"),  # case-insensitive match exercised
+    )
+    g2 = d.where(did % 4 == 0).select(
+        url.alias("url"),
+        F.lit(900).alias("subj_start"), F.lit(905).alias("subj_end"),
+        F.lit(910).alias("obj_start"), F.lit(915).alias("obj_end"),
+        F.lit("FOUNDED").alias("pred"),
+    )
+    return strict_match_counts(pred, g1.unionByName(g2))
+
+
+_REL_EVAL_PROBE_ORACLE = f"""
+    WITH p AS ({_REL_PROBE_POOL_SQL}),
+    pred AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url,
+             8 AS subj_start, 8 + length(pn) AS subj_end,
+             17 + length(pn) AS obj_start,
+             17 + length(pn) + length(og) AS obj_end,
+             'ceo_of' AS pred_lower
+      FROM p),
+    gold AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url,
+             8 AS subj_start, 8 + length(pn) AS subj_end,
+             17 + length(pn) AS obj_start,
+             17 + length(pn) + length(og) AS obj_end,
+             'ceo_of' AS pred_lower
+      FROM p WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR), 900, 905, 910, 915, 'founded'
+      FROM p WHERE doc_id % 4 = 0),
+    pk AS (SELECT url, subj_start, subj_end, obj_start, obj_end, pred_lower,
+                  count(*) AS n_pred FROM pred GROUP BY 1, 2, 3, 4, 5, 6),
+    gk AS (SELECT url, subj_start, subj_end, obj_start, obj_end, pred_lower,
+                  count(*) AS n_gold FROM gold GROUP BY 1, 2, 3, 4, 5, 6),
+    j AS (SELECT coalesce(n_pred, 0) AS n_pred, coalesce(n_gold, 0) AS n_gold
+          FROM pk FULL OUTER JOIN gk USING (url, subj_start, subj_end,
+                                            obj_start, obj_end, pred_lower))
+    SELECT CAST(sum(n_pred) AS BIGINT) AS n_pred,
+           CAST(sum(n_gold) AS BIGINT) AS n_gold,
+           CAST(sum(least(n_pred, n_gold)) AS BIGINT) AS n_matched
+    FROM j
 """
 
 
@@ -1037,6 +1126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_probe_triples": q_kg_probe_triples,
         "kg_probe_tracks": q_kg_probe_tracks,
         "kg_probe_ner_eval": q_kg_probe_ner_eval,
+        "kg_probe_rel_eval": q_kg_probe_rel_eval,
+        "kg_export_cypher": q_kg_export_cypher,
         # dedup / text analysis
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -1111,6 +1202,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_probe_triples": _REL_PROBE_ORACLE,
         "kg_probe_tracks": _TRACK_PROBE_ORACLE,
         "kg_probe_ner_eval": _NER_EVAL_PROBE_ORACLE,
+        "kg_probe_rel_eval": _REL_EVAL_PROBE_ORACLE,
+        "kg_export_cypher": O.kg_export_cypher(sf),
         # dedup
         "dedup_exact": f"""
             SELECT md5(lower(regexp_replace(trim(text), '{O.WS}', ' ', 'g'))) AS fingerprint,

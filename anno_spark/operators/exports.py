@@ -61,6 +61,58 @@ def to_cypher(nodes: DataFrame, edges: DataFrame, cap: int = DEFAULT_CAP) -> str
     return "\n".join(lines)
 
 
+def cypher_statements(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """DISTRIBUTED Cypher render — one MERGE/MATCH statement per row,
+    every string built by JVM expressions (escape, identifier sanitize,
+    interpolation). This is the at-scale export path: a 10⁹-node graph
+    writes its Cypher as a text table (``df.write.text``) instead of
+    collecting through the driver like :func:`to_cypher` (which stays as
+    the bounded small-subgraph convenience). Statement text is
+    line-for-line identical to the driver-side renderer (pytest-pinned).
+    """
+    from pyspark.sql import functions as F
+
+    def esc(c):
+        return F.replace(
+            F.replace(c.cast("string"), F.lit("\\"), F.lit("\\\\")),
+            F.lit("'"),
+            F.lit("\\'"),
+        )
+
+    def ident(c, fallback):
+        base = F.coalesce(c.cast("string"), F.lit(fallback))
+        base = F.when(base == "", F.lit(fallback)).otherwise(base)
+        sanitized = F.regexp_replace(base, "[^A-Za-z0-9_]", "_")
+        sanitized = F.when(sanitized == "", F.lit(fallback)).otherwise(sanitized)
+        return F.when(
+            F.substring(sanitized, 1, 1).rlike("[0-9]"),
+            F.concat(F.lit("_"), sanitized),
+        ).otherwise(sanitized)
+
+    node_stmts = nodes.select(
+        F.concat(
+            F.lit("MERGE (n:"), ident(F.col("node_type"), "Entity"),
+            F.lit(" {id: '"), esc(F.col("node_id")),
+            F.lit("'}) SET n.name = '"), esc(F.col("name")),
+            F.lit("', n.mentions_count = "),
+            F.col("n_mentions").cast("long").cast("string"),
+            F.lit(";"),
+        ).alias("stmt")
+    )
+    edge_stmts = edges.select(
+        F.concat(
+            F.lit("MATCH (a {id: '"), esc(F.col("src_node")),
+            F.lit("'}), (b {id: '"), esc(F.col("dst_node")),
+            F.lit("'}) MERGE (a)-[r:"),
+            ident(F.upper(F.col("relation")), "RELATED_TO"),
+            F.lit("]->(b) SET r.confidence = "),
+            F.col("confidence").cast("double").cast("string"),
+            F.lit(";"),
+        ).alias("stmt")
+    )
+    return node_stmts.unionByName(edge_stmts)
+
+
 def to_networkx_json(nodes: DataFrame, edges: DataFrame, cap: int = DEFAULT_CAP) -> str:
     """NetworkX node-link JSON (graph.rs:434-497 shape)."""
     payload = {

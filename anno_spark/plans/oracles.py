@@ -345,6 +345,49 @@ def kg_communities_l2(
     """
 
 
+def kg_export_cypher(sf_dir: str) -> str:
+    """Re-derives every distributed-Cypher statement
+    (operators/exports.cypher_statements) with SQL string functions:
+    backslash/quote escaping, [A-Za-z0-9_] identifier sanitization with
+    fallback + no-leading-digit rule, and the exact interpolation."""
+    bs, q = "chr(92)", "chr(39)"  # backslash, single quote
+
+    def esc(x: str) -> str:
+        return (
+            f"replace(replace(CAST({x} AS VARCHAR), {bs}, {bs}||{bs}), "
+            f"{q}, {bs}||{q})"
+        )
+
+    def ident(x: str, fb: str) -> str:
+        base = (
+            f"CASE WHEN {x} IS NULL OR CAST({x} AS VARCHAR) = '' "
+            f"THEN '{fb}' ELSE CAST({x} AS VARCHAR) END"
+        )
+        s = f"regexp_replace({base}, '[^A-Za-z0-9_]', '_', 'g')"
+        s2 = f"(CASE WHEN {s} = '' THEN '{fb}' ELSE {s} END)"
+        return (
+            f"(CASE WHEN regexp_matches({s2}, '^[0-9]') "
+            f"THEN '_' || {s2} ELSE {s2} END)"
+        )
+
+    return f"""
+        WITH n AS (SELECT * FROM {_pq(sf_dir, 'kg_graph_nodes')}),
+        e AS (SELECT * FROM {_pq(sf_dir, 'kg_graph_edges')})
+        SELECT 'MERGE (n:' || {ident('node_type', 'Entity')} || ' {{id: ' || {q} ||
+               {esc('node_id')} || {q} || '}}) SET n.name = ' || {q} ||
+               {esc('name')} || {q} || ', n.mentions_count = ' ||
+               CAST(CAST(n_mentions AS BIGINT) AS VARCHAR) || ';' AS stmt
+        FROM n
+        UNION ALL
+        SELECT 'MATCH (a {{id: ' || {q} || {esc('src_node')} || {q} ||
+               '}}), (b {{id: ' || {q} || {esc('dst_node')} || {q} ||
+               '}}) MERGE (a)-[r:' || {ident("upper(relation)", 'RELATED_TO')} ||
+               ']->(b) SET r.confidence = ' ||
+               CAST(CAST(confidence AS DOUBLE) AS VARCHAR) || ';'
+        FROM e
+    """
+
+
 def kg_cooccurrence(sf_dir: str, max_distance: int = 100) -> str:
     return f"""
         WITH m AS (SELECT url, mention_idx, text, entity_type, start, "end"

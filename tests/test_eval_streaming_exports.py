@@ -147,6 +147,37 @@ class TestExports:
         assert script.count("MERGE (n:") == nodes.count()
         assert "SET r.confidence" in script
 
+    def test_cypher_distributed_matches_driver_render(self, graph, spark):
+        """cypher_statements (JVM string building, scale path) emits the
+        exact statement multiset of the driver-side to_cypher — incl. on
+        adversarial names needing escaping/sanitization."""
+        from pyspark.sql import functions as F
+
+        from anno_spark.operators.exports import cypher_statements, to_cypher
+
+        nodes, edges = graph
+        dist = sorted(r["stmt"] for r in cypher_statements(nodes, edges).collect())
+        drv = sorted(to_cypher(nodes, edges).splitlines())
+        assert dist == drv
+
+        # adversarial: quotes + backslash in names, dirty labels/relations
+        bad_nodes = spark.createDataFrame(
+            [
+                ("id'1\\x", "O'Brien \\ Sons", "9weird-type", 3),
+                ("id2", "plain", None, 1),
+            ],
+            "node_id string, name string, node_type string, n_mentions long",
+        )
+        bad_edges = spark.createDataFrame(
+            [("id'1\\x", "id2", "related-to!", 0.7)],
+            "src_node string, dst_node string, relation string, confidence double",
+        )
+        dist = sorted(r["stmt"] for r in cypher_statements(bad_nodes, bad_edges).collect())
+        drv = sorted(to_cypher(bad_nodes, bad_edges).splitlines())
+        assert dist == drv
+        assert any("\\'" in s for s in dist)  # escaping actually exercised
+        assert any(":_9weird_type" in s for s in dist)
+
     def test_networkx_json(self, graph):
         from anno_spark.operators.exports import to_networkx_json
 
