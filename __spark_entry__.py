@@ -15,6 +15,22 @@ connected components, window ranking, band self-joins, TF-IDF in SQL
 (plans/oracles.py). Extraction itself is pinned by the pytest parity
 suite vs the pure-Python reference port (tests/test_spark_pipeline.py).
 
+Round 3 adds two layers on top (VERDICT r02 next #1/#2):
+
+* PROBE ROWS whose oracles never read Spark-materialized extraction
+  parquet — planted templates over doc_id with positionally-derivable
+  expected output: regex families over a second probe column
+  (independent-engine differential, Python re vs DuckDB RE2), the
+  heuristic-NER gazetteer path, trigger relations, coref tracks, and
+  the E1/E2 eval operators scored against planted golds with controlled
+  FP/FN (the matching joins recomputed in SQL).
+* ITERATIVE-ALGORITHM oracles: the direction-alternating Leiden loop
+  (and its 2-level hierarchy) transcribed as UNROLLED generated SQL —
+  one gain-aggregation + window-argmax + move-gate CTE block per round,
+  every CTE AS MATERIALIZED (un-hinted inlining is O(3^rounds)).
+
+Every query is oracled — zero rows-only entries.
+
 Column-name discipline: every computed column is aliased identically in
 the Spark code and the SQL string. Every output column is SCALAR (the
 driver canonicalizer cannot sort array cells — r01 lesson): arrays are

@@ -333,6 +333,12 @@ def scaling() -> None:
             raise SystemExit(f"scaling run at {cpus} cpus failed")
         results[cpus] = json.loads(line[-1][len("RESULT "):])
 
+    # re-measure the ceiling AFTER the Spark legs: this host's deliverable
+    # parallelism decays over tens of minutes (observed 0.85 → 0.72 within
+    # one hour at 8→32), so a single pre-run snapshot can overstate what
+    # the hi leg actually had available
+    ceiling_after = hardware_ceiling(lo, hi)
+
     t_lo, t_hi = results[lo]["sec"], results[hi]["sec"]
     e_lo, e_hi = results[lo]["sec_extract"], results[hi]["sec_extract"]
     pages = results[hi]["pages"]
@@ -347,6 +353,7 @@ def scaling() -> None:
         "triples": results[hi]["triples"],
         "cpu_pinned": True,
         "hw_ceiling": ceiling,
+        "hw_ceiling_after": ceiling_after,
         "value_vs_ceiling": round((thr_hi / (ratio * thr_lo)) / ceiling, 4)
         if ceiling
         else None,
