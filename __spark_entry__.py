@@ -308,6 +308,17 @@ def q_kg_communities_l2(spark, sf_dir):
     )
 
 
+def q_kg_communities_lpa(spark, sf_dir):
+    """The LPA fallback (self-voting label propagation) driver-oracled
+    via the same unrolled-SQL scheme as Leiden."""
+    from anno_spark.operators.communities import label_propagation
+
+    gnodes, gedges = _graph_tables(spark, sf_dir)
+    return label_propagation(
+        gnodes.select("node_id"), gedges, weight_col="confidence"
+    )
+
+
 def q_kg_export_cypher(spark, sf_dir):
     """S5 driver-visible: the DISTRIBUTED Cypher renderer (one statement
     per row, all string building in JVM expressions) over the
@@ -696,6 +707,34 @@ _REL_EVAL_PROBE_ORACLE = f"""
            CAST(sum(n_gold) AS BIGINT) AS n_gold,
            CAST(sum(least(n_pred, n_gold)) AS BIGINT) AS n_matched
     FROM j
+"""
+
+
+def q_kg_probe_events(spark, sf_dir):
+    """R2 driver-visible without Spark-materialized input: the relation
+    probe template yields exactly one event per page — trigger 'founded'
+    (business:event, positive, past, 0.8) with the person as Agent and
+    the org as Patient (events.rs ACE-style argument filling) — every
+    field positionally derivable in SQL."""
+    from anno_spark.operators import extract as ex
+
+    ev = ex.events_table(ex.extract_documents(_rel_probe_pages(spark, sf_dir)))
+    return ev.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "trigger", "trigger_start", "trigger_end", "event_type",
+        "polarity", "tense", "confidence", "agent", "patient",
+    )
+
+
+_EVENT_PROBE_ORACLE = f"""
+    WITH p AS ({_REL_PROBE_POOL_SQL})
+    SELECT doc_id, 'founded' AS "trigger",
+           CAST(9 + length(pn) AS INTEGER) AS trigger_start,
+           CAST(16 + length(pn) AS INTEGER) AS trigger_end,
+           'business:event' AS event_type, 'positive' AS polarity,
+           'past' AS tense, 0.8 AS confidence,
+           pn AS agent, og AS patient
+    FROM p
 """
 
 
@@ -1125,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_communities": q_kg_communities,
         "kg_communities_l2": q_kg_communities_l2,
+        "kg_communities_lpa": q_kg_communities_lpa,
         "kg_entity_links": q_kg_entity_links,
         # NER pattern extraction (oracled per-pattern)
         "ner_emails": _pattern_query("EMAIL"),
@@ -1141,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ner_gazetteer_orgs": q_ner_gazetteer_orgs,
         "kg_probe_triples": q_kg_probe_triples,
         "kg_probe_tracks": q_kg_probe_tracks,
+        "kg_probe_events": q_kg_probe_events,
         "kg_probe_ner_eval": q_kg_probe_ner_eval,
         "kg_probe_rel_eval": q_kg_probe_rel_eval,
         "kg_export_cypher": q_kg_export_cypher,
@@ -1205,6 +1246,7 @@ def oracle_sql() -> dict[str, str]:
         # + direction gate) — closes the r02 `err: no_oracle` row
         "kg_communities": O.kg_communities(sf, 1.0, 15),
         "kg_communities_l2": O.kg_communities_l2(sf, 1.0, 2, 15),
+        "kg_communities_lpa": O.kg_communities_lpa(sf, 10),
         # NER patterns
         "ner_emails": _pattern_oracle(ORACLE_SAFE_PATTERNS["EMAIL"]),
         "ner_iso_dates": _pattern_oracle(ORACLE_SAFE_PATTERNS["DATE_ISO"]),
@@ -1217,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         "ner_gazetteer_orgs": _GAZ_ORACLE,
         "kg_probe_triples": _REL_PROBE_ORACLE,
         "kg_probe_tracks": _TRACK_PROBE_ORACLE,
+        "kg_probe_events": _EVENT_PROBE_ORACLE,
         "kg_probe_ner_eval": _NER_EVAL_PROBE_ORACLE,
         "kg_probe_rel_eval": _REL_EVAL_PROBE_ORACLE,
         "kg_export_cypher": O.kg_export_cypher(sf),

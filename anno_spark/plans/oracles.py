@@ -318,6 +318,55 @@ def kg_communities(
     """
 
 
+def kg_communities_lpa(
+    sf_dir: str, max_iterations: int = 10
+) -> str:
+    """label_propagation (operators/communities.py:68-118) unrolled: per
+    round every node adopts the label with the greatest incident weight
+    among neighbors AND itself (self-vote 1.0 — the ADVICE r01
+    oscillation fix), ties → smallest label. Fixed-round unrolling is
+    exact for the same reason as the Leiden oracle: once a round changes
+    nothing, every later round recomputes the same argmax."""
+    pre = f"""
+        nodes AS (SELECT node_id FROM {_pq(sf_dir, 'kg_graph_nodes')}),
+        e0 AS (SELECT src_node, dst_node, confidence AS w
+               FROM {_pq(sf_dir, 'kg_graph_edges')}),
+        sym AS MATERIALIZED (
+            SELECT a, b, sum(w) AS w FROM (
+                SELECT src_node AS a, dst_node AS b, w FROM e0
+                UNION ALL
+                SELECT dst_node, src_node, w FROM e0)
+            WHERE a <> b GROUP BY a, b),
+        labels_0 AS MATERIALIZED (SELECT node_id, node_id AS community_id FROM nodes)"""
+    rounds = []
+    prev = "labels_0"
+    for it in range(max_iterations):
+        r = it + 1
+        rounds.append(f"""
+        votes_{r} AS MATERIALIZED (
+            SELECT s.a AS node_id, lb.community_id, s.w
+            FROM sym s JOIN {prev} lb ON s.b = lb.node_id
+            UNION ALL
+            SELECT node_id, community_id, 1.0 FROM {prev}),
+        agg_{r} AS MATERIALIZED (
+            SELECT node_id, community_id, sum(w) AS wsum
+            FROM votes_{r} GROUP BY 1, 2),
+        best_{r} AS MATERIALIZED (
+            SELECT node_id, community_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY node_id
+                    ORDER BY wsum DESC, community_id ASC) AS rn
+                FROM agg_{r}) WHERE rn = 1),
+        labels_{r} AS MATERIALIZED (
+            SELECT l.node_id, coalesce(b.community_id, l.community_id) AS community_id
+            FROM {prev} l LEFT JOIN best_{r} b ON l.node_id = b.node_id)""")
+        prev = f"labels_{r}"
+    return f"""
+        WITH {pre},{','.join(rounds)}
+        SELECT node_id, community_id FROM {prev}
+    """
+
+
 def kg_communities_l2(
     sf_dir: str,
     resolution: float = 1.0,
