@@ -910,6 +910,35 @@ CURATION_MIN_QUALITY = 0.67
 CURATION_LANGS = ("en", "de", "fr", "es")
 
 
+def q_dedup_bcubed(spark, sf_dir):
+    """E3 driver-visible over REAL clusterings: B³ of the MinHash
+    near-dup clustering (pred; singletons keep their own doc_id)
+    against the exact-duplicate fingerprint clustering (gold). The
+    oracle re-derives BOTH clusterings from scratch (recursive-CTE
+    MinHash chain + fingerprint window) and the B³ sums in SQL."""
+    from pyspark.sql import Window
+
+    from anno_spark.eval.cluster_eval import b_cubed_df
+    from anno_spark.operators.dedup import minhash_near_duplicates
+    from anno_spark.operators.textstats import normalized_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = minhash_near_duplicates(
+        docs, threshold=0.8, sigs=_dd_sigs(spark, sf_dir)
+    )
+    pred = docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        F.col("doc_id").alias("mention_id"),
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    gold = docs.select(
+        F.col("doc_id").alias("mention_id"),
+        F.min("doc_id")
+        .over(Window.partitionBy(normalized_fingerprint(F.col("text"))))
+        .alias("cluster_id"),
+    )
+    return b_cubed_df(pred, gold)
+
+
 def q_corpus_curation(spark, sf_dir):
     from anno_spark.operators.curation import curate_corpus
 
@@ -1191,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_bcubed": q_dedup_bcubed,
         "corpus_curation": q_corpus_curation,
         "doc_stats": q_doc_stats,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1273,6 +1303,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": O.dedup_simhash(sf, 3),
         "dedup_ngram_jaccard": O.dedup_ngram_jaccard(sf, 0.5),
         "dedup_embedding": O.dedup_embedding(sf, 0.8, 16),
+        "dedup_bcubed": O.dedup_bcubed(sf, 0.8),
         "corpus_curation": O.corpus_curation(
             sf, _STOPWORDS, CURATION_MIN_QUALITY, CURATION_LANGS, 0.8
         ),

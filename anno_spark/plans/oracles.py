@@ -633,6 +633,46 @@ def corpus_curation(
     """
 
 
+def dedup_bcubed(sf_dir: str, threshold: float = 0.8) -> str:
+    """E3 — B³ (cdcr.rs:587-673 union-denominator variant) of the
+    MinHash clustering vs the exact-fingerprint clustering, with BOTH
+    clusterings AND the B³ sums re-derived from scratch in SQL."""
+    return f"""
+        WITH RECURSIVE
+        {_minhash_cluster_ctes(sf_dir, threshold)},
+        pred AS (
+            SELECT d.doc_id AS mention_id,
+                   coalesce(c.cluster_id, d.doc_id) AS pc
+            FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id),
+        gold AS (
+            SELECT doc_id AS mention_id,
+                   min(doc_id) OVER (
+                       PARTITION BY md5(lower(regexp_replace(trim(text), '{WS}', ' ', 'g')))
+                   ) AS gc
+            FROM documents),
+        pc_sizes AS (SELECT pc, count(*) AS pc_n FROM pred GROUP BY pc),
+        gc_sizes AS (SELECT gc, count(*) AS gc_n FROM gold GROUP BY gc),
+        inter AS (
+            SELECT p.pc, g.gc, count(*) AS n_pg
+            FROM pred p JOIN gold g ON p.mention_id = g.mention_id
+            GROUP BY p.pc, g.gc),
+        sums AS (
+            SELECT sum(n_pg * n_pg * 1.0 / pc_n) AS tp,
+                   sum(n_pg * n_pg * 1.0 / gc_n) AS tr
+            FROM inter JOIN pc_sizes USING (pc) JOIN gc_sizes USING (gc)),
+        nm AS (SELECT count(*) AS n_mentions FROM (
+                 SELECT mention_id FROM pred UNION SELECT mention_id FROM gold))
+        SELECT round(tp / n_mentions, 6) AS precision,
+               round(tr / n_mentions, 6) AS recall,
+               round(CASE WHEN tp + tr > 0
+                          THEN 2.0 * (tp / n_mentions) * (tr / n_mentions)
+                               / ((tp / n_mentions) + (tr / n_mentions))
+                          ELSE 0.0 END, 6) AS f1,
+               CAST(n_mentions AS BIGINT) AS n_mentions
+        FROM sums, nm
+    """
+
+
 def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> str:
     return f"""
         WITH sh AS (SELECT doc_id, simhash FROM {_pq(sf_dir, 'dd_simhash')}),
