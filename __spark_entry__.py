@@ -738,6 +738,28 @@ _EVENT_PROBE_ORACLE = f"""
 """
 
 
+def q_kg_probe_page_stats(spark, sf_dir):
+    """The per-page lineage-count layer (page_stats: size() over the
+    extraction arrays) independently driver-checked: every relation
+    probe page has exactly 2 mentions, 1 triple, 2 tracks, 1 event,
+    truncated=0 — constants the oracle derives from the template."""
+    from anno_spark.operators import extract as ex
+
+    st = ex.page_stats(ex.extract_documents(_rel_probe_pages(spark, sf_dir)))
+    return st.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "n_mentions", "n_triples", "n_tracks", "n_events", "truncated",
+    )
+
+
+_PAGE_STATS_PROBE_ORACLE = """
+    SELECT doc_id, CAST(2 AS INTEGER) AS n_mentions,
+           CAST(1 AS INTEGER) AS n_triples, CAST(2 AS INTEGER) AS n_tracks,
+           CAST(1 AS INTEGER) AS n_events, CAST(0 AS INTEGER) AS truncated
+    FROM documents
+"""
+
+
 def q_kg_probe_ner_eval(spark, sf_dir):
     """E1 driver-visible: exact-mode NER P/R/F1 of the REAL extraction
     stack against a planted gold with controlled errors — gold omits the
@@ -1211,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_probe_triples": q_kg_probe_triples,
         "kg_probe_tracks": q_kg_probe_tracks,
         "kg_probe_events": q_kg_probe_events,
+        "kg_probe_page_stats": q_kg_probe_page_stats,
         "kg_probe_ner_eval": q_kg_probe_ner_eval,
         "kg_probe_rel_eval": q_kg_probe_rel_eval,
         "kg_export_cypher": q_kg_export_cypher,
@@ -1290,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_probe_triples": _REL_PROBE_ORACLE,
         "kg_probe_tracks": _TRACK_PROBE_ORACLE,
         "kg_probe_events": _EVENT_PROBE_ORACLE,
+        "kg_probe_page_stats": _PAGE_STATS_PROBE_ORACLE,
         "kg_probe_ner_eval": _NER_EVAL_PROBE_ORACLE,
         "kg_probe_rel_eval": _REL_EVAL_PROBE_ORACLE,
         "kg_export_cypher": O.kg_export_cypher(sf),
