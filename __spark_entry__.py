@@ -319,6 +319,31 @@ def q_kg_communities_lpa(spark, sf_dir):
     )
 
 
+def q_kg_communities_alt(spark, sf_dir):
+    """L2 hierarchical Leiden and the LPA fallback folded into ONE
+    driver row (surface-cap fold, VERDICT r03 next #1): (method,
+    node_id, level_0, level_1). LPA's single label rides as level_0
+    with level_1 = '' — both sub-results keep full hash fidelity."""
+    from anno_spark.operators.communities import (
+        hierarchical_communities,
+        label_propagation,
+    )
+
+    gnodes, gedges = _graph_tables(spark, sf_dir)
+    l2 = hierarchical_communities(
+        gnodes, gedges, levels=2, resolution=1.0, weight_col="confidence"
+    ).select(F.lit("l2").alias("method"), "node_id", "level_0", "level_1")
+    lpa = label_propagation(
+        gnodes.select("node_id"), gedges, weight_col="confidence"
+    ).select(
+        F.lit("lpa").alias("method"),
+        "node_id",
+        F.col("community_id").alias("level_0"),
+        F.lit("").alias("level_1"),
+    )
+    return l2.unionByName(lpa)
+
+
 def q_kg_export_cypher(spark, sf_dir):
     """S5 driver-visible: the DISTRIBUTED Cypher renderer (one statement
     per row, all string building in JVM expressions) over the
@@ -508,6 +533,72 @@ def _pattern2_oracle(pattern: str) -> str:
         f"WITH probe AS (SELECT doc_id, {_PROBE2_SQL} AS probe_text FROM documents) "
         f"SELECT doc_id, unnest(regexp_extract_all(probe_text, '{pat}')) AS mention "
         f"FROM probe"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 surface folding (VERDICT r03 next #1): the driver's correctness
+# sweep records at most 50 rows (r01=33, r02=43, r03=50 of 58 — the last
+# 8 queries() entries were silently dropped). Same-schema query families
+# are folded into composite rows carrying a tag column, so EVERY value of
+# every sub-query still reaches the driver's hash — nothing is digested
+# away — and the total surface fits the cap with margin (48 entries).
+
+_PATTERN_FAMILIES_A = (
+    ("emails", "EMAIL"),
+    ("iso_dates", "DATE_ISO"),
+    ("percent", "PERCENT"),
+    ("money", "MONEY_SYMBOL"),
+)
+_PATTERN_FAMILIES_B = (
+    ("dates_fr", "DATE_FRENCH_EU"),
+    ("times_24h", "TIME_24H"),
+    ("phones_intl", "PHONE_INTL"),
+    ("urls", "URL"),
+)
+
+
+def q_ner_patterns(spark, sf_dir):
+    """All 8 regex-NER probe families as ONE row: (family, doc_id,
+    mention). Families A run over the round-2 planted probe, families B
+    over the round-3 probe; both remain independent-engine differentials
+    (Python re on Spark vs RE2 on DuckDB)."""
+    from functools import reduce
+
+    from anno_spark.functions import pattern_matches
+
+    p1 = _probe_df(spark, sf_dir)
+    p2 = _probe2_df(spark, sf_dir)
+    parts = [
+        pattern_matches(p1, name).select(
+            F.lit(fam).alias("family"), "doc_id", "mention"
+        )
+        for fam, name in _PATTERN_FAMILIES_A
+    ] + [
+        pattern_matches(p2, name).select(
+            F.lit(fam).alias("family"), "doc_id", "mention"
+        )
+        for fam, name in _PATTERN_FAMILIES_B
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _ner_patterns_oracle() -> str:
+    from anno_spark.functions.patterns import ORACLE_SAFE_PATTERNS
+
+    arms = []
+    for probe, fams in (("probe1", _PATTERN_FAMILIES_A), ("probe2", _PATTERN_FAMILIES_B)):
+        for fam, name in fams:
+            pat = ORACLE_SAFE_PATTERNS[name].replace("'", "''")
+            arms.append(
+                f"SELECT '{fam}' AS family, doc_id, "
+                f"unnest(regexp_extract_all(probe_text, '{pat}')) AS mention "
+                f"FROM {probe}"
+            )
+    return (
+        f"WITH probe1 AS MATERIALIZED (SELECT doc_id, {_PROBE_SQL} AS probe_text FROM documents), "
+        f"probe2 AS MATERIALIZED (SELECT doc_id, {_PROBE2_SQL} AS probe_text FROM documents) "
+        + " UNION ALL ".join(arms)
     )
 
 
@@ -1001,6 +1092,33 @@ def q_doc_quality(spark, sf_dir):
     return quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_profile(spark, sf_dir):
+    """doc_stats + quality_score + doc_fingerprints folded into ONE wide
+    per-document row (surface-cap fold, VERDICT r03 next #1): a 3-way
+    join on doc_id; duplicate columns (n_tokens/alpha_ratio recomputed
+    identically by quality_score, fingerprint by doc_fingerprints) are
+    projected once. Every distinct value of all three sub-queries still
+    reaches the driver hash."""
+    from anno_spark.operators.textstats import (
+        doc_fingerprints,
+        doc_stats,
+        quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    s = doc_stats(docs).select(
+        "doc_id", "n_chars", "n_tokens", "n_lines",
+        "alpha_ratio", "digit_ratio", "fingerprint",
+    )
+    q = quality_score(docs).select(
+        "doc_id", "mean_token_len", "stopword_signal", "quality_score"
+    )
+    f = doc_fingerprints(docs).select(
+        "doc_id", "ws_tokens", "bpe_tokens", "rolling_hash"
+    )
+    return s.join(q, "doc_id").join(f, "doc_id")
+
+
 def q_lang_detect(spark, sf_dir):
     from anno_spark.operators.textstats import detect_languages
 
@@ -1123,8 +1241,16 @@ def q_rel_window_latest_order(spark, sf_dir):
 
 
 def q_rel_anti_join(spark, sf_dir):
+    """Customers with no order since 1999. The generated testdata gives
+    every customer at least one order overall, so the unfiltered
+    anti-join was a vacuous 0-row green (VERDICT r03 wrong #1); the
+    date-filtered right side guarantees misses at every SF (6 at
+    sf0.001, 29 at sf0.01, 305 at sf0.1) while still exercising the
+    NULL-safe NOT-EXISTS ≡ left_anti semantics from the r01 fix."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
         .select("c_custkey", "c_mktsegment")
@@ -1214,18 +1340,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extraction_metrics": q_kg_extraction_metrics,
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_communities": q_kg_communities,
-        "kg_communities_l2": q_kg_communities_l2,
-        "kg_communities_lpa": q_kg_communities_lpa,
+        # l2 + lpa folded into one row (surface-cap fold, r03 next #1)
+        "kg_communities_alt": q_kg_communities_alt,
         "kg_entity_links": q_kg_entity_links,
-        # NER pattern extraction (oracled per-pattern)
-        "ner_emails": _pattern_query("EMAIL"),
-        "ner_iso_dates": _pattern_query("DATE_ISO"),
-        "ner_percent": _pattern_query("PERCENT"),
-        "ner_money": _pattern_query("MONEY_SYMBOL"),
-        "ner_dates_fr": _pattern2_query("DATE_FRENCH_EU"),
-        "ner_times_24h": _pattern2_query("TIME_24H"),
-        "ner_phones_intl": _pattern2_query("PHONE_INTL"),
-        "ner_urls": _pattern2_query("URL"),
+        # NER pattern extraction — all 8 probe families in one row
+        "ner_patterns": q_ner_patterns,
         # full-stack extraction probes: heuristic-NER gazetteer path,
         # trigger-pattern relations, coref track formation — oracles are
         # pure positional SQL over the planted templates (VERDICT r02 #1)
@@ -1245,11 +1364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_bcubed": q_dedup_bcubed,
         "corpus_curation": q_corpus_curation,
-        "doc_stats": q_doc_stats,
-        "doc_fingerprints": q_doc_fingerprints,
+        # doc_stats + quality + fingerprints folded into one wide row
+        "doc_profile": q_doc_profile,
         "web_url_parts": q_web_url_parts,
         "web_domains": q_web_domains,
-        "doc_quality": q_doc_quality,
         "lang_profile": q_lang_profile,
         "lang_detect": q_lang_detect,
         # similarity search
@@ -1273,7 +1391,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from anno_spark.functions.patterns import ORACLE_SAFE_PATTERNS
     from anno_spark.operators.textstats import _STOPWORDS
     from anno_spark.plans import oracles as O
 
@@ -1298,17 +1415,18 @@ def oracle_sql() -> dict[str, str]:
         # generated SQL CTEs (each round = one gain agg + window argmax
         # + direction gate) — closes the r02 `err: no_oracle` row
         "kg_communities": O.kg_communities(sf, 1.0, 15),
-        "kg_communities_l2": O.kg_communities_l2(sf, 1.0, 2, 15),
-        "kg_communities_lpa": O.kg_communities_lpa(sf, 10),
-        # NER patterns
-        "ner_emails": _pattern_oracle(ORACLE_SAFE_PATTERNS["EMAIL"]),
-        "ner_iso_dates": _pattern_oracle(ORACLE_SAFE_PATTERNS["DATE_ISO"]),
-        "ner_percent": _pattern_oracle(ORACLE_SAFE_PATTERNS["PERCENT"]),
-        "ner_money": _pattern_oracle(ORACLE_SAFE_PATTERNS["MONEY_SYMBOL"]),
-        "ner_dates_fr": _pattern2_oracle(ORACLE_SAFE_PATTERNS["DATE_FRENCH_EU"]),
-        "ner_times_24h": _pattern2_oracle(ORACLE_SAFE_PATTERNS["TIME_24H"]),
-        "ner_phones_intl": _pattern2_oracle(ORACLE_SAFE_PATTERNS["PHONE_INTL"]),
-        "ner_urls": _pattern2_oracle(ORACLE_SAFE_PATTERNS["URL"]),
+        # l2 + lpa folded: both unrolled-SQL transcriptions union'd
+        # under a method tag (LPA's label as level_0, level_1 = '')
+        "kg_communities_alt": f"""
+            WITH l2 AS MATERIALIZED ({O.kg_communities_l2(sf, 1.0, 2, 15)}),
+                 lpa AS MATERIALIZED ({O.kg_communities_lpa(sf, 10)})
+            SELECT 'l2' AS method, node_id, level_0, level_1 FROM l2
+            UNION ALL
+            SELECT 'lpa' AS method, node_id, community_id AS level_0,
+                   '' AS level_1 FROM lpa
+        """,
+        # NER patterns: all 8 probe families, tagged union
+        "ner_patterns": _ner_patterns_oracle(),
         "ner_gazetteer_orgs": _GAZ_ORACLE,
         "kg_probe_triples": _REL_PROBE_ORACLE,
         "kg_probe_tracks": _TRACK_PROBE_ORACLE,
@@ -1331,9 +1449,11 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": O.corpus_curation(
             sf, _STOPWORDS, CURATION_MIN_QUALITY, CURATION_LANGS, 0.8
         ),
-        # text stats
-        "doc_stats": f"""
-            SELECT doc_id,
+        # text stats — doc_stats + quality + fingerprints folded into
+        # one wide per-document row (3-way join on doc_id)
+        "doc_profile": f"""
+            WITH s AS MATERIALIZED (
+              SELECT doc_id,
                    length(text) AS n_chars,
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE length(list_filter(regexp_split_to_array(trim(text), '{O.WS}'), x -> x <> '')) END AS n_tokens,
@@ -1343,21 +1463,26 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN length(text) = 0 THEN 0.0
                         ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text) END, 6) AS digit_ratio,
                    md5(lower(regexp_replace(trim(text), '{O.WS}', ' ', 'g'))) AS fingerprint
-            FROM documents
-        """,
-        "doc_quality": O.doc_quality(_STOPWORDS),
-        "doc_fingerprints": f"""
-            SELECT doc_id,
+              FROM documents),
+            q AS MATERIALIZED (
+              SELECT doc_id, mean_token_len, stopword_signal, quality_score
+              FROM ({O.doc_quality(_STOPWORDS)})),
+            f AS MATERIALIZED (
+              SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE length(list_filter(regexp_split_to_array(trim(text), '{O.WS}'), x -> x <> '')) END AS ws_tokens,
                    length(regexp_extract_all(text, '{O.BPE_RE}')) AS bpe_tokens,
-                   md5(lower(regexp_replace(trim(text), '{O.WS}', ' ', 'g'))) AS fingerprint,
                    CASE WHEN length(substr(text, 1, {O.ROLL_MAX})) = 0 THEN 0
                         ELSE list_reduce(
                             list_transform(range(1, length(substr(text, 1, {O.ROLL_MAX})) + 1),
                                            i -> CAST(unicode(substr(text, 1, {O.ROLL_MAX})[i]) AS BIGINT)),
                             (acc, c) -> (acc * {O.ROLL_B} + c) % {O.ROLL_P}) END AS rolling_hash
-            FROM documents
+              FROM documents)
+            SELECT s.doc_id, s.n_chars, s.n_tokens, s.n_lines,
+                   s.alpha_ratio, s.digit_ratio, s.fingerprint,
+                   q.mean_token_len, q.stopword_signal, q.quality_score,
+                   f.ws_tokens, f.bpe_tokens, f.rolling_hash
+            FROM s JOIN q USING (doc_id) JOIN f USING (doc_id)
         """,
         "lang_profile": f"""
             WITH t AS (
@@ -1410,10 +1535,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderpriority
         """,
         # NOT EXISTS, not NOT IN: left_anti is NULL-safe, NOT IN is not
-        # (ADVICE r01)
+        # (ADVICE r01). Right side date-filtered so the result is
+        # non-empty at every SF (VERDICT r03 wrong #1: vacuous 0=0 green).
         "rel_anti_join": """
             SELECT c_custkey, c_mktsegment FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '1999-01-01')
         """,
         "rel_distinct": "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
         # DuckDB's native ASOF JOIN independently re-derives the

@@ -146,6 +146,9 @@ def main() -> None:
 
     qmap = entry_mod.queries()
     qmap["dedup_minhash"] = _bench_dedup_minhash
+    # doc_stats was folded into the composite doc_profile correctness
+    # row (r04); the bench keeps timing the standalone operator
+    qmap["doc_stats"] = entry_mod.q_doc_stats
     for name in HEADLINE:
         best = None
         for _ in range(2):
