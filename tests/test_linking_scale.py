@@ -137,3 +137,86 @@ class TestBigKb:
         out = linking.link_surfaces(surfaces, idx).collect()
         assert len(out) == 1
         assert out[0]["kb_id"] == "Q90000"
+
+
+# ---------------------------------------------------------------------------
+# 10^6-alias KB (VERDICT r03 next #6): past the broadcast-postings byte
+# budget the KB-side joins must drop the broadcast hint and run as
+# shuffled equi-joins — same code path, plan-gated — with exact-surface
+# recall still total.
+
+N_BIG_ENTITIES = 250_000  # × 4 alias variants = 10^6 aliases
+
+
+def _million_alias_kb(spark):
+    """10^6 deterministic aliases generated ENTIRELY with Spark
+    expressions (a 10^6-row python list through createDataFrame would
+    serialize on the driver): same stem/sector/number scheme as
+    _kb_rows so gram structure and IDF stress carry over."""
+    from pyspark.sql import functions as F
+
+    stems = F.array(*[F.lit(s) for s in _STEMS])
+    sectors = F.array(*[F.lit(s) for s in _SECTORS])
+    base = spark.range(0, N_BIG_ENTITIES, 1, 32).select(
+        F.element_at(stems, (F.col("id") % 10 + 1).cast("int")).alias("stem"),
+        F.element_at(sectors, (F.col("id") % 5 + 1).cast("int")).alias("sector"),
+        F.lpad(F.col("id").cast("string"), 6, "0").alias("num"),
+    )
+    name = F.concat_ws(" ", "stem", "sector", "num")
+    variants = F.array(
+        name,
+        F.concat_ws(" ", "stem", "num"),
+        F.concat(name, F.lit(" incorporated")),
+        F.concat(F.substring("stem", 1, 3), "num"),
+    )
+    return base.select(
+        F.explode(variants).alias("alias"),
+        F.concat(F.lit("Q"), "num").alias("kb_id"),
+        F.concat(F.lit("synthetic entity "), "num").alias("description"),
+    )
+
+
+@pytest.fixture(scope="module")
+def million_kb_index(spark):
+    from anno_spark.operators import linking
+
+    return linking.build_kb_index(spark, _million_alias_kb(spark))
+
+
+class TestMillionAliasKb:
+    def test_postings_exceed_broadcast_budget_and_gate_off(self, million_kb_index):
+        """The exact gate the operator evaluates: ~1.4e7 posting rows ×
+        POSTING_BYTES_EST must exceed MAX_BROADCAST_BYTES, so the dot
+        join runs un-hinted; the tiny 3-gram IDF table stays broadcast."""
+        from anno_spark.operators.linking import IDF_BYTES_EST, POSTING_BYTES_EST
+        from anno_spark.plans.sizing import fits_broadcast
+
+        assert million_kb_index["n_aliases"] == 4 * N_BIG_ENTITIES
+        assert million_kb_index["n_postings"] > 10_000_000
+        assert not fits_broadcast(
+            million_kb_index["n_postings"], POSTING_BYTES_EST
+        )
+        assert fits_broadcast(million_kb_index["n_grams"], IDF_BYTES_EST)
+
+    def test_plan_has_shuffled_join_and_exact_recall_total(
+        self, spark, million_kb_index
+    ):
+        """End-to-end at 10^6 aliases: the physical plan carries at least
+        one non-broadcast join (the postings dot product), and every
+        surface that IS a canonical alias links to its own kb_id."""
+        from anno_spark.operators import linking
+
+        ids = list(range(0, N_BIG_ENTITIES, 2503))[:100]
+        exact = [
+            f"{_STEMS[i % 10]} {_SECTORS[i % 5]} {i:06d}" for i in ids
+        ]
+        surfaces = _surfaces(spark, [(s, "ORG") for s in exact])
+        links = linking.link_surfaces(surfaces, million_kb_index)
+        plan = links._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        by_surface = (
+            links.toPandas().set_index("surface")["kb_id"].to_dict()
+        )
+        for i in ids:
+            s = f"{_STEMS[i % 10]} {_SECTORS[i % 5]} {i:06d}"
+            assert by_surface.get(s) == f"Q{i:06d}", s
