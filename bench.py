@@ -30,21 +30,26 @@ def run_kg_pipeline(spark, sf_dir: str) -> dict:
     from anno_spark.operators import extract as ex
     from anno_spark.operators import graph as g
     from anno_spark.operators import resolve as rx
+    from anno_spark.plans.sizing import checkpoint_count
     from anno_spark.sources.pages import pages_from_documents
 
     pages = pages_from_documents(spark, sf_dir)
-    extracted = ex.extract_documents(pages).localCheckpoint()
+    # lazy checkpoint + count: ONE job materializes the extraction UDF
+    # output AND returns the page count (an eager checkpoint followed by
+    # .count() costs a second, cached-scan job of pure fixed latency)
+    extracted, n_pages = checkpoint_count(ex.extract_documents(pages))
     mentions = ex.mentions_table(extracted)
     triples = ex.triples_table(extracted)
-    n_pages = extracted.count()
     n_triples = triples.count()
     keyed, idents, _ = rx.resolve_mentions(mentions)
-    nodes = g.nodes_table(idents)
+    # nodes is consumed twice (its own count + the edge build): same
+    # fused materialize-and-count
+    nodes, n_nodes = checkpoint_count(g.nodes_table(idents))
     keyed_surfaces = keyed.selectExpr(
         "surface", "entity_type", "component_id as identity_id"
     )
     edges = g.edges_table(triples, keyed_surfaces, nodes)
-    n_nodes, n_edges = nodes.count(), edges.count()
+    n_edges = edges.count()
     return {
         "pages": n_pages,
         "triples": n_triples,
@@ -195,12 +200,13 @@ def run_kg_pipeline_synth(spark, n_pages: int, max_bucket_size: int | None = Non
     from anno_spark.operators import graph as g
     from anno_spark.operators import resolve as rx
 
+    from anno_spark.plans.sizing import checkpoint_count
+
     par = spark.sparkContext.defaultParallelism
     t0 = time.monotonic()
-    extracted = ex.extract_synthetic_documents(
-        spark, n_pages, partitions=par * 4
-    ).localCheckpoint()
-    n = extracted.count()
+    extracted, n = checkpoint_count(
+        ex.extract_synthetic_documents(spark, n_pages, partitions=par * 4)
+    )
     t_extract = time.monotonic() - t0
 
     t0 = time.monotonic()
