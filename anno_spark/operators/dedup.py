@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from anno_spark.plans.sizing import checkpoint_count, fits_broadcast
+from anno_spark.plans.sizing import checkpoint_count, fits_broadcast, probe_spread
 
 from .resolve import connected_components
 from .textstats import normalized_fingerprint
@@ -149,7 +149,7 @@ def minhash_candidate_pairs(
     par = sigs.sparkSession.sparkContext.defaultParallelism
     left = bands.select("band", "band_hash", F.col("doc_id").alias("doc_a"))
     if small:
-        left = left.repartition(max(par * 4, 64))
+        left = left.repartition(probe_spread(par, n_docs * n_bands))
     right = bands.select("band", "band_hash", F.col("doc_id").alias("doc_b"))
     raw = left.join(maybe_broadcast(right), ["band", "band_hash"]).where(
         F.col("doc_a") < F.col("doc_b")
@@ -223,7 +223,9 @@ def minhash_near_duplicates(
     """
     if sigs is None:
         sigs = doc_signatures_with_id(docs, text_col)
-    sigs = sigs.localCheckpoint()
+    # lazy: the representative groupBy materializes it; the doc→sig_id
+    # fan-out join later reads the cache (one fewer dedicated job)
+    sigs = sigs.localCheckpoint(eager=False)
     reps = (
         sigs.groupBy("sig_id")
         .agg(
@@ -334,7 +336,7 @@ def simhash_near_duplicates(
     bands = sh.select("doc_id", "simhash", F.posexplode("bands").alias("band", "band_val"))
     left = bands.select("band", "band_val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"))
     if small:
-        left = left.repartition(max(par * 4, 64))
+        left = left.repartition(probe_spread(par, n_docs * SIMHASH_BANDS))
     right = bands.select("band", "band_val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"))
     pairs = (
         left.join(maybe_broadcast(right), ["band", "band_val"])

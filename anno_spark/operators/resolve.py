@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from anno_spark.plans.iterloop import iter_checkpoint
-from anno_spark.plans.sizing import checkpoint_count, fits_broadcast
+from anno_spark.plans.sizing import checkpoint_count, fits_broadcast, probe_spread
 
 MIN_SIMILARITY = 0.5  # cdcr.rs:433-442 default
 
@@ -183,8 +183,7 @@ def candidate_pairs(
     par = bands.sparkSession.sparkContext.defaultParallelism
     left = bands.select("band", "band_hash", F.col("key_id").alias("key_a"))
     if small:
-        spread = min(max(par * 4, 64), max(n_band_rows // 2000 + 1, par))
-        left = left.repartition(spread)
+        left = left.repartition(probe_spread(par, n_band_rows))
     right = bands.select("band", "band_hash", F.col("key_id").alias("key_b"))
     pairs = (
         left.join(maybe_broadcast(right), ["band", "band_hash"])

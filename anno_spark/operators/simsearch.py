@@ -223,7 +223,7 @@ def binary_hash_pairs(
     # table fits, so a hot band bucket's pair explosion parallelizes.
     # One job: lazy checkpoint + exact count; byte-based broadcast gate
     # (4 exploded band rows ~24 B + the 8 B hash, per vector).
-    from anno_spark.plans.sizing import checkpoint_count, fits_broadcast
+    from anno_spark.plans.sizing import checkpoint_count, fits_broadcast, probe_spread
 
     bh, n_vecs = checkpoint_count(bh)
     small = fits_broadcast(n_vecs, 4 * 24 + 16)
@@ -244,7 +244,7 @@ def binary_hash_pairs(
     ).select("vec_id", "bhash", "bv.band", "bv.band_val")
     left = bands.select("band", "band_val", F.col("vec_id").alias("vec_a"), F.col("bhash").alias("h_a"))
     if small:
-        left = left.repartition(max(par * 4, 64))
+        left = left.repartition(probe_spread(par, n_vecs * 4))
     right = bands.select("band", "band_val", F.col("vec_id").alias("vec_b"), F.col("bhash").alias("h_b"))
     pairs = (
         left.join(maybe_broadcast(right), ["band", "band_val"])

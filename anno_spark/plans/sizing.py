@@ -36,6 +36,16 @@ def checkpoint_count(df: DataFrame) -> tuple[DataFrame, int]:
     return df, df.count()
 
 
+def probe_spread(par: int, n_rows: int, rows_per_task: int = 2000) -> int:
+    """Partition count for the pre-spread probe side of a broadcast band
+    join: ≥ ``rows_per_task`` band rows per task, at least the current
+    parallelism, capped at 4× parallelism. The spread exists because the
+    join output explodes 10²-10³× on hot buckets — but a fixed 128-way
+    repartition of a 15k-row table is ~100 empty tasks of scheduler
+    fixed cost through every downstream stage (VERDICT r03 next #4)."""
+    return min(max(par * 4, 64), max(n_rows // rows_per_task + 1, par))
+
+
 def fits_broadcast(
     n_rows: int, est_bytes_per_row: int, max_bytes: int = MAX_BROADCAST_BYTES
 ) -> bool:
