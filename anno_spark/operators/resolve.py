@@ -133,6 +133,7 @@ def candidate_pairs(
     keys: DataFrame,
     max_bucket_size: int | None = None,
     broadcast_max_keys: int = 1_000_000,
+    _pre_dedup: bool = False,
 ) -> DataFrame:
     """Self-join on (band, band_hash) → distinct key pairs (a < b), with
     surfaces/types re-attached AFTER dedup (the pre-dedup blowup carries
@@ -185,12 +186,17 @@ def candidate_pairs(
     if small:
         left = left.repartition(probe_spread(par, n_band_rows))
     right = bands.select("band", "band_hash", F.col("key_id").alias("key_b"))
-    pairs = (
+    raw = (
         left.join(maybe_broadcast(right), ["band", "band_hash"])
         .where(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b")
-        .dropDuplicates(["key_a", "key_b"])
     )
+    if _pre_dedup:
+        # diagnostic surface for the skew soak: the PRE-dedup pair
+        # stream, partitioned exactly as the explosion map stage runs it
+        # (the dedup shuffle would rebalance and hide any imbalance)
+        return raw
+    pairs = raw.dropDuplicates(["key_a", "key_b"])
     # attach surfaces + PRECOMPUTED word sets: the scoring pass over the
     # (huge, mostly-rejected) pair table then allocates one array per
     # pair (the intersect) instead of re-splitting both surfaces — the

@@ -388,8 +388,120 @@ def scaling() -> None:
     print(json.dumps(out))
 
 
+def skewed_mentions(spark, n_mentions: int, n_variants: int = 20_000):
+    """Adversarial mention stream (pure function of id — deterministic
+    at any parallelism): 30% share ONE hot surface ('Acme Corporation' —
+    the stop-surface problem, SURVEY §7.5 / cdcr.rs:314-347), 10% a
+    second hot surface, 60% near-identical distinct variants whose
+    3-gram shingles mostly coincide (giant LSH buckets), and one domain
+    carries ~all the urls."""
+    from pyspark.sql import functions as F
+
+    par = spark.sparkContext.defaultParallelism
+    m = spark.range(0, n_mentions, 1, par * 2)
+    variant = (F.col("id") % n_variants).cast("string")
+    surface = (
+        F.when(F.col("id") % 10 < 3, F.lit("Acme Corporation"))
+        .when(F.col("id") % 10 == 3, F.lit("The Company"))
+        .otherwise(F.concat(F.lit("acme corporation unit "), variant))
+    )
+    return m.select(
+        F.concat(
+            F.lit("https://megahost.example/p/"),
+            (F.col("id") % 50_000).cast("string"),
+        ).alias("url"),
+        surface.alias("text"),
+        F.lit("ORG").alias("entity_type"),
+    )
+
+
+def skew_soak(spark, n_mentions: int = 2_000_000, max_bucket_size: int = 256) -> dict:
+    """The 100×-credibility evidence for the resolve stage (VERDICT r03
+    next #5): run CDCR resolution over the adversarial corpus and report
+
+    * bucket-cap effectiveness: LSH buckets over the cap are dropped
+      BEFORE pair explosion (count + largest bucket recorded),
+    * explosion balance: per-partition row counts of the PRE-dedup pair
+      stream — the exact distribution the band-join map stage executes;
+      an unsalted hot bucket serializes into ONE task, the round-robin
+      probe spread bounds max/median (data-deterministic: immune to this
+      host's wall-clock jitter),
+    * end-to-end resolve wall time + identity count.
+    """
+    from pyspark.sql import functions as F
+
+    from anno_spark.operators import resolve as rx
+
+    mentions = skewed_mentions(spark, n_mentions)
+    t0 = time.monotonic()
+    keys = rx.surface_keys(mentions).localCheckpoint(eager=False)
+    bands = rx.band_table(keys).localCheckpoint(eager=False)
+    sizes = bands.groupBy("band", "band_hash").count()
+    bstats = sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("count").alias("max_bucket"),
+        F.sum(F.when(F.col("count") > max_bucket_size, 1).otherwise(0)).alias(
+            "dropped_buckets"
+        ),
+        F.sum(
+            F.when(F.col("count") > max_bucket_size, F.col("count")).otherwise(0)
+        ).alias("rows_in_dropped"),
+    ).collect()[0]
+    # pre-dedup pair stream balance (the explosion map stage)
+    raw = rx.candidate_pairs(
+        bands, keys, max_bucket_size=max_bucket_size, _pre_dedup=True
+    )
+    hist = (
+        raw.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .orderBy("count")
+        .collect()
+    )
+    counts = [r["count"] for r in hist]
+    med = counts[len(counts) // 2] if counts else 0
+    balance = {
+        "explosion_partitions": len(counts),
+        "explosion_rows": sum(counts),
+        "explosion_max_per_task": max(counts) if counts else 0,
+        "explosion_median_per_task": med,
+        "explosion_max_over_median": round(max(counts) / med, 2) if med else None,
+    }
+    # end-to-end resolve on the same corpus
+    keyed, idents, _ = rx.resolve_mentions(mentions, max_bucket_size=max_bucket_size)
+    n_idents = idents.count()
+    wall = round(time.monotonic() - t0, 3)
+    return {
+        "metric": "skew_soak",
+        "unit": "sec",
+        "value": wall,
+        "n_mentions": n_mentions,
+        "n_keys": keys.count(),
+        "n_identities": n_idents,
+        "max_bucket_size": max_bucket_size,
+        "n_buckets": bstats["n_buckets"],
+        "max_bucket": bstats["max_bucket"],
+        "dropped_buckets": bstats["dropped_buckets"],
+        "rows_in_dropped_buckets": bstats["rows_in_dropped"],
+        **balance,
+    }
+
+
+def skew_main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n = int(os.environ.get("SPARK_GRAFT_SKEW_MENTIONS", "2000000"))
+    from anno_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(cpus, 32))
+    out = skew_soak(spark, n)
+    out["cpus"] = cpus
+    spark.stop()
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--skew" in sys.argv:
+        skew_main()
     else:
         main()
