@@ -927,6 +927,220 @@ _NER_EVAL_PROBE_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 probes: confidence calibration (calibration.rs:143-260) and
+# extraction drift (drift.rs:360-476) made driver-visible. Both run the
+# REAL extraction stack over planted templates; both oracles re-derive
+# every mention (confidence, correctness, window, surface) positionally
+# and recompute the metrics from scratch in SQL.
+
+_PROBE_LOCS = (
+    "Paris", "London", "Tokyo", "Berlin", "Rome", "Madrid", "Moscow",
+    "Beijing", "Shanghai", "Dubai", "Singapore", "Sydney", "Toronto",
+    "Chicago", "Boston",
+)
+
+
+def _calib_pools(did):
+    o = F.element_at(
+        F.array(*[F.lit(x) for x in _PROBE_ORGS]), (did % 24 + 1).cast("int")
+    )
+    half = F.floor(did / F.lit(2)).cast("bigint")
+    p = F.element_at(
+        F.array(*[F.lit(x) for x in _PROBE_PERSONS]),
+        (half % 16 + 1).cast("int"),
+    )
+    loc = F.element_at(
+        F.array(*[F.lit(x) for x in _PROBE_LOCS]), (half % 15 + 1).cast("int")
+    )
+    return o, p, loc
+
+
+def q_kg_probe_calibration(spark, sf_dir):
+    """Calibration of the real extractor's confidences against a planted
+    gold with per-family accuracy CONTROLLED to differ from confidence:
+    org-suffix mentions (conf .85, even docs) are correct only when
+    doc_id%4==0 (acc .5 — overconfident); plain gazetteer orgs (conf .8,
+    odd docs) always correct; persons (conf .75) correct at 3/4 —
+    perfectly calibrated; locations (conf .8) correct at 4/5. →
+    reliability bins + ECE/MCE/Brier (eval/calibration.py)."""
+    from anno_spark.eval.calibration import reliability_table
+    from anno_spark.operators import extract as ex
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    o, p, loc = _calib_pools(did)
+    orgtext = F.when(did % 2 == 0, F.concat(o, F.lit(" Corp"))).otherwise(o)
+    text = F.concat(
+        F.lit("on monday "), orgtext, F.lit(" told reporters that "), p,
+        F.lit(" was pleased in "), loc, F.lit("."),
+    )
+    pages = d.select(did.cast("string").alias("url"), text.alias("text"))
+    pred = ex.mentions_table(ex.extract_documents(pages)).select(
+        "url", "start", "end", "entity_type", "confidence"
+    )
+    # positional gold with planted omissions
+    url = did.cast("string").alias("url")
+    lo_, lp, ll = F.length(orgtext), F.length(p), F.length(loc)
+    g_org = d.where((did % 2 == 1) | (did % 4 == 0)).select(
+        url, F.lit(10).alias("start"), (F.lit(10) + lo_).alias("end"),
+        F.lit("ORG").alias("entity_type"),
+    )
+    g_per = d.where(did % 4 != 1).select(
+        url, (F.lit(31) + lo_).alias("start"),
+        (F.lit(31) + lo_ + lp).alias("end"), F.lit("PER").alias("entity_type"),
+    )
+    g_loc = d.where(did % 5 != 0).select(
+        url, (F.lit(47) + lo_ + lp).alias("start"),
+        (F.lit(47) + lo_ + lp + ll).alias("end"),
+        F.lit("LOC").alias("entity_type"),
+    )
+    gold = g_org.unionByName(g_per).unionByName(g_loc).withColumn(
+        "in_gold", F.lit(1)
+    )
+    preds = pred.join(
+        gold, ["url", "start", "end", "entity_type"], "left"
+    ).select("confidence", F.col("in_gold").isNotNull().alias("correct"))
+    return reliability_table(preds)
+
+
+_CALIB_PROBE_ORACLE = """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 0.85 ELSE 0.8 END AS DOUBLE) AS conf,
+             CASE WHEN (doc_id % 2 = 1) OR (doc_id % 4 = 0) THEN 1 ELSE 0 END AS ok
+      FROM documents
+      UNION ALL
+      SELECT doc_id, CAST(0.75 AS DOUBLE), CASE WHEN doc_id % 4 <> 1 THEN 1 ELSE 0 END FROM documents
+      UNION ALL
+      SELECT doc_id, CAST(0.8 AS DOUBLE), CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END FROM documents),
+    binned AS (
+      SELECT conf, ok, least(CAST(floor(conf * 10) AS INT), 9) AS bin FROM m),
+    per_bin AS (
+      SELECT bin, count(*) AS count, avg(conf) AS avg_confidence,
+             avg(CAST(ok AS DOUBLE)) AS accuracy
+      FROM binned GROUP BY bin),
+    pb AS (
+      SELECT bin, bin / 10.0 AS range_start, (bin + 1) / 10.0 AS range_end,
+             count, avg_confidence, accuracy,
+             abs(accuracy - avg_confidence) AS calibration_error
+      FROM per_bin),
+    gl AS (
+      SELECT sum(count * calibration_error) / sum(count) AS ece,
+             max(calibration_error) AS mce,
+             CAST(sum(count) AS BIGINT) AS total_predictions
+      FROM pb),
+    cs AS (
+      SELECT avg((conf - ok) * (conf - ok)) AS brier_score,
+             coalesce(avg(CASE WHEN ok = 1 THEN conf END), 0.0) AS avg_confidence_correct,
+             coalesce(avg(CASE WHEN ok = 0 THEN conf END), 0.0) AS avg_confidence_incorrect
+      FROM binned)
+    SELECT pb.bin, round(pb.range_start, 6) AS range_start,
+           round(pb.range_end, 6) AS range_end, pb.count,
+           round(pb.avg_confidence, 6) AS avg_confidence,
+           round(pb.accuracy, 6) AS accuracy,
+           round(pb.calibration_error, 6) AS calibration_error,
+           round(gl.ece, 6) AS ece, round(gl.mce, 6) AS mce,
+           round(cs.brier_score, 6) AS brier_score,
+           round(cs.avg_confidence_correct, 6) AS avg_confidence_correct,
+           round(cs.avg_confidence_incorrect, 6) AS avg_confidence_incorrect,
+           round(cs.avg_confidence_correct - cs.avg_confidence_incorrect, 6) AS confidence_gap,
+           gl.total_predictions
+    FROM pb, gl, cs
+"""
+
+
+def q_kg_probe_drift(spark, sf_dir):
+    """Drift of the real extractor between two planted corpus windows:
+    window 0 (even docs) pages carry ORG(.8)+PER(.75); window 1 (odd)
+    pages carry 'ORG Corp'(.85)+PER(.75)+LOC(.8) — a NEW entity type,
+    share decreases for both baseline types, a +.025 confidence shift,
+    and 27-of-43 new vocabulary surfaces (the org pool index is doc_id
+    % 24, so each window sees its own 12 orgs; persons are shared via
+    the doc_id//2 index). → one row (eval/drift.py: KL ε-smoothed,
+    ±0.05 share thresholds)."""
+    from anno_spark.eval.drift import drift_report
+    from anno_spark.operators import extract as ex
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    o, p, loc = _calib_pools(did)
+    text = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit("on monday "), o, F.lit(" told reporters that "), p,
+            F.lit(" was pleased."),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("on monday "), o, F.lit(" Corp told reporters that "), p,
+            F.lit(" was pleased in "), loc, F.lit("."),
+        )
+    )
+    pages = d.select(did.cast("string").alias("url"), text.alias("text"))
+    m = ex.mentions_table(ex.extract_documents(pages))
+    preds = m.select(
+        (F.col("url").cast("bigint") % 2).alias("window"),
+        "entity_type",
+        "confidence",
+        F.col("text").alias("surface"),
+    )
+    return drift_report(preds, surface_col="surface")
+
+
+_DRIFT_PROBE_ORACLE = f"""
+    WITH p AS (
+      SELECT doc_id, doc_id % 2 AS w,
+             {_sql_strs(_PROBE_ORGS)}[CAST(doc_id % 24 AS INT) + 1] AS o,
+             {_sql_strs(_PROBE_PERSONS)}[CAST(CAST(floor(doc_id / 2) AS BIGINT) % 16 AS INT) + 1] AS pn,
+             {_sql_strs(_PROBE_LOCS)}[CAST(CAST(floor(doc_id / 2) AS BIGINT) % 15 AS INT) + 1] AS lc
+      FROM documents),
+    m AS (
+      SELECT w, 'ORG' AS etype,
+             CAST(CASE WHEN w = 0 THEN 0.8 ELSE 0.85 END AS DOUBLE) AS conf,
+             CASE WHEN w = 0 THEN o ELSE o || ' Corp' END AS surface
+      FROM p
+      UNION ALL
+      SELECT w, 'PER', CAST(0.75 AS DOUBLE), pn FROM p
+      UNION ALL
+      SELECT w, 'LOC', CAST(0.8 AS DOUBLE), lc FROM p WHERE w = 1),
+    conf AS (
+      SELECT avg(CASE WHEN w = 0 THEN conf END) AS b_mean,
+             avg(CASE WHEN w = 1 THEN conf END) AS c_mean
+      FROM m),
+    tc AS (SELECT w, etype, count(*) AS n FROM m GROUP BY 1, 2),
+    tot AS (SELECT w, sum(n) AS total FROM tc GROUP BY 1),
+    sh AS (SELECT tc.w, etype, n * 1.0 / total AS prob
+           FROM tc JOIN tot ON tc.w = tot.w),
+    j AS (
+      SELECT c.etype, c.prob AS p_cur, b.prob AS p_base
+      FROM (SELECT * FROM sh WHERE w = 1) c
+      LEFT JOIN (SELECT * FROM sh WHERE w = 0) b USING (etype)),
+    dist AS (
+      SELECT sum(p_cur * ln(p_cur / coalesce(p_base, 1e-10))) AS kl,
+             sum(CASE WHEN p_base IS NULL THEN 1 ELSE 0 END) AS n_new,
+             sum(CASE WHEN p_base IS NOT NULL AND p_cur - p_base > 0.05
+                      THEN 1 ELSE 0 END) AS n_inc,
+             sum(CASE WHEN p_base IS NOT NULL AND p_cur - p_base < -0.05
+                      THEN 1 ELSE 0 END) AS n_dec
+      FROM j),
+    vocab AS (
+      SELECT (SELECT count(DISTINCT surface) FROM m WHERE w = 1
+              AND surface NOT IN (SELECT surface FROM m WHERE w = 0)) * 1.0
+             / (SELECT count(DISTINCT surface) FROM m WHERE w = 1) AS rate)
+    SELECT round(conf.b_mean, 6) AS baseline_mean_conf,
+           round(conf.c_mean, 6) AS current_mean_conf,
+           round(conf.c_mean - conf.b_mean, 6) AS drift_amount,
+           abs(conf.c_mean - conf.b_mean) > 0.1 AS conf_drift_significant,
+           round(dist.kl, 6) AS kl_divergence,
+           CAST(dist.n_new AS BIGINT) AS n_new_types,
+           CAST(dist.n_inc AS BIGINT) AS n_increased_types,
+           CAST(dist.n_dec AS BIGINT) AS n_decreased_types,
+           round(vocab.rate, 6) AS new_token_rate
+    FROM conf, dist, vocab
+"""
+
+
 # ===========================================================================
 # Dedup / text-stats queries over documents
 # ===========================================================================
@@ -1355,6 +1569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_probe_page_stats": q_kg_probe_page_stats,
         "kg_probe_ner_eval": q_kg_probe_ner_eval,
         "kg_probe_rel_eval": q_kg_probe_rel_eval,
+        "kg_probe_calibration": q_kg_probe_calibration,
+        "kg_probe_drift": q_kg_probe_drift,
         "kg_export_cypher": q_kg_export_cypher,
         # dedup / text analysis
         "dedup_exact": q_dedup_exact,
@@ -1434,6 +1650,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_probe_page_stats": _PAGE_STATS_PROBE_ORACLE,
         "kg_probe_ner_eval": _NER_EVAL_PROBE_ORACLE,
         "kg_probe_rel_eval": _REL_EVAL_PROBE_ORACLE,
+        "kg_probe_calibration": _CALIB_PROBE_ORACLE,
+        "kg_probe_drift": _DRIFT_PROBE_ORACLE,
         "kg_export_cypher": O.kg_export_cypher(sf),
         # dedup
         "dedup_exact": f"""
