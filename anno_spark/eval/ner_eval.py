@@ -62,6 +62,38 @@ def ner_prf_exact_df(pred: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
+def ner_prf_by_type_df(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Exact-mode PRF per entity type: the same (url, start, end,
+    entity_type) multiset matching as :func:`ner_prf_exact_df`, rolled
+    up by type instead of globally. Output: (entity_type, count,
+    precision, recall, f1) where ``count`` is the number of GOLD
+    entities of that type — the frequency the long-tail analyzer
+    buckets by (long_tail.rs:252-257 builds EntityFrequency from the
+    gold counts). Types appearing only in predictions still get a row
+    (count 0, recall 0)."""
+    pk = pred.groupBy(*_KEY).agg(F.count("*").alias("n_pred"))
+    gk = gold.groupBy(*_KEY).agg(F.count("*").alias("n_gold"))
+    j = pk.join(gk, _KEY, "full_outer").select(
+        "entity_type",
+        F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+        F.coalesce("n_gold", F.lit(0)).alias("n_gold"),
+    )
+    agg = j.groupBy("entity_type").agg(
+        F.sum("n_pred").alias("n_pred"),
+        F.sum("n_gold").alias("n_gold"),
+        F.sum(F.least("n_pred", "n_gold")).alias("n_matched"),
+    )
+    p = F.when(F.col("n_pred") > 0, F.col("n_matched") / F.col("n_pred")).otherwise(0.0)
+    r = F.when(F.col("n_gold") > 0, F.col("n_matched") / F.col("n_gold")).otherwise(0.0)
+    return agg.select(
+        "entity_type",
+        F.col("n_gold").alias("count"),
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(0.0), 6).alias("f1"),
+    )
+
+
 def ner_prf_exact(pred: DataFrame, gold: DataFrame) -> NerPRF:
     row = ner_prf_exact_df(pred, gold).collect()[0]
     return _prf(row["n_pred"] or 0, row["n_gold"] or 0, row["n_matched"] or 0)
