@@ -260,12 +260,54 @@ class SchemaMapper:
         return len(a & b) / len(union) if union else 0.0
 
 
+# map_label_heuristic (schema.rs:627-693) — the no-schema fallback.
+# Distinct from entity.rs from_label: preserves GPE/FAC as custom place
+# types, NORP→GROUP (not ORG), and knows the domain vocabularies.
+MAP_LABEL_HEURISTIC = {
+    **{k: PERSON for k in ("PER", "PERSON", "ACTOR", "DIRECTOR",
+                           "CHARACTER", "POLITICIAN")},
+    **{k: GROUP for k in ("NORP", "GROUP", "NATIONALITY", "RELIGION")},
+    **{k: ORGANIZATION for k in ("ORG", "ORGANIZATION", "ORGANISATION",
+                                 "CORPORATION", "COMPANY",
+                                 "POLITICAL_PARTY", "RESTAURANT_NAME")},
+    **{k: GPE for k in ("GPE", "COUNTRY", "CITY", "STATE")},
+    **{k: FACILITY for k in ("FAC", "FACILITY", "BUILDING")},
+    **{k: LOCATION for k in ("LOC", "LOCATION", "GEO")},
+    "DATE": DATE, "YEAR": DATE,
+    "TIME": TIME, "HOURS": TIME,
+    "MONEY": MONEY, "PRICE": MONEY, "CURRENCY": MONEY,
+    "PERCENT": PERCENT, "PERCENTAGE": PERCENT,
+    "QUANTITY": QUANTITY, "CARDINAL": CARDINAL, "ORDINAL": ORDINAL,
+    "PRODUCT": PRODUCT, "PROD": PRODUCT,
+    "EVENT": EVENT, "EVE": EVENT, "ELECTION": EVENT,
+    **{k: CREATIVE_WORK for k in ("WORK_OF_ART", "CREATIVE-WORK", "TITLE",
+                                  "SONG", "ART", "MEDIA")},
+    "LAW": LAW, "LANGUAGE": LANGUAGE,
+    "DISEASE": DISEASE, "DIS": DISEASE,
+    "CHEMICAL": CHEMICAL, "GENE": GENE, "DRUG": DRUG,
+    "ANIM": ANIMAL, "ANIMAL": ANIMAL, "PLANT": PLANT,
+    "FOOD": FOOD, "DISH": FOOD, "CUISINE": FOOD,
+    "VEHI": "VEHICLE", "VEHICLE": "VEHICLE",
+    "EMAIL": "EMAIL", "URL": "URL", "URI": "URL",
+    "PHONE": "PHONE", "TELEPHONE": "PHONE",
+    "MISC": MISC, "MISCELLANEOUS": MISC, "O": MISC, "OTHER": MISC,
+}
+
+
+def map_label_heuristic(label: str) -> str:
+    """schema.rs:627-693 — unknown labels preserved as Other(UPPER)."""
+    up = label.upper()
+    return MAP_LABEL_HEURISTIC.get(up, up)
+
+
 def map_to_canonical(label: str, schema: str | None = None) -> str:
-    """schema.rs:609-630 — the unified mapping entry point."""
+    """schema.rs:609-630 — the unified mapping entry point. The no-schema
+    fallback is :func:`map_label_heuristic`, NOT entity.rs from_label
+    (the reference's loader test pins GPE staying distinct)."""
     label = _BIO_RE_EXT.sub("", label, count=1)
     if schema is not None:
         return SchemaMapper(schema).to_canonical(label)
-    return from_label(label)
+    return map_label_heuristic(label)
 
 
 # --------------------------------------------------------------------------
