@@ -1214,6 +1214,91 @@ def q_web_domains(spark, sf_dir):
     return domain_profile(_pages_meta(spark, sf_dir))
 
 
+def q_web_profile(spark, sf_dir):
+    """url_parts + domain_profile folded into ONE tagged-union row
+    (surface-cap fold, r04 — frees a slot for box_coref).  Heterogeneous
+    columns stay typed; each arm NULL-pads the other's columns, so no
+    cast-format drift can hide a value mismatch."""
+    urls = q_web_url_parts(spark, sf_dir).select(
+        F.lit("url").alias("family"),
+        "url", "host", "domain", "tld",
+        F.col("path_depth").cast("long").alias("path_depth"),
+        F.lit(None).cast("long").alias("n_pages"),
+        F.lit(None).cast("long").alias("n_hosts"),
+        F.lit(None).cast("double").alias("avg_path_depth"),
+        F.lit(None).cast("long").alias("n_langs"),
+        F.lit(None).cast("timestamp").alias("first_crawl"),
+        F.lit(None).cast("timestamp").alias("last_crawl"),
+    )
+    domains = q_web_domains(spark, sf_dir).select(
+        F.lit("domain").alias("family"),
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("string").alias("host"),
+        "domain",
+        F.lit(None).cast("string").alias("tld"),
+        F.lit(None).cast("long").alias("path_depth"),
+        F.col("n_pages").cast("long"),
+        F.col("n_hosts").cast("long"),
+        "avg_path_depth",
+        F.col("n_langs").cast("long"),
+        "first_crawl", "last_crawl",
+    )
+    return urls.unionByName(domains)
+
+
+def q_box_coref(spark, sf_dir):
+    """Box-embedding coreference pairs over the embeddings table
+    (backends/box_embeddings.rs:33-257 semantics): dim-3 boxes of
+    half-width 0.08 around each vector, grid-blocked candidate join,
+    exact JVM-side conditional-probability scoring, threshold 0.5.
+    The oracle re-derives every score from the raw parquet with an
+    explicit all-pairs join — fully independent of the Spark blocking."""
+    from anno_spark.operators.boxes import box_coref_pairs, boxes_from_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    boxed = boxes_from_vectors(emb, vec_col="embedding", radius=0.08, dims=3) \
+        .select(F.col("vec_id").alias("box_id"), "box_min", "box_max")
+    pairs = box_coref_pairs(boxed, threshold=0.5, cell_size=0.5)
+    return pairs.select(
+        "id_a", "id_b",
+        F.round("box_score", 6).alias("box_score"),
+        F.round("p_a_b", 6).alias("p_a_b"),
+        F.round("p_b_a", 6).alias("p_b_a"),
+    )
+
+
+_BOX_COREF_ORACLE = """
+    WITH b AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) - 0.08 AS n1,
+             CAST(embedding[2] AS DOUBLE) - 0.08 AS n2,
+             CAST(embedding[3] AS DOUBLE) - 0.08 AS n3,
+             CAST(embedding[1] AS DOUBLE) + 0.08 AS x1,
+             CAST(embedding[2] AS DOUBLE) + 0.08 AS x2,
+             CAST(embedding[3] AS DOUBLE) + 0.08 AS x3
+      FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             greatest(least(a.x1, c.x1) - greatest(a.n1, c.n1), 0)
+             * greatest(least(a.x2, c.x2) - greatest(a.n2, c.n2), 0)
+             * greatest(least(a.x3, c.x3) - greatest(a.n3, c.n3), 0) AS iv,
+             (a.x1 - a.n1) * (a.x2 - a.n2) * (a.x3 - a.n3) AS va,
+             (c.x1 - c.n1) * (c.x2 - c.n2) * (c.x3 - c.n3) AS vb
+      FROM b a JOIN b c ON a.vec_id < c.vec_id),
+    s AS (
+      SELECT id_a, id_b,
+             CASE WHEN vb = 0 THEN 0 ELSE iv / vb END AS p_ab,
+             CASE WHEN va = 0 THEN 0 ELSE iv / va END AS p_ba
+      FROM p)
+    SELECT id_a, id_b,
+           round((p_ab + p_ba) / 2, 6) AS box_score,
+           round(p_ab, 6) AS p_a_b,
+           round(p_ba, 6) AS p_b_a
+    FROM s
+    WHERE (p_ab + p_ba) / 2 >= 0.5
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     from anno_spark.operators.dedup import doc_vectors, embedding_near_duplicates
     from anno_spark.plans.materialize import materialize
@@ -1582,8 +1667,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         # doc_stats + quality + fingerprints folded into one wide row
         "doc_profile": q_doc_profile,
-        "web_url_parts": q_web_url_parts,
-        "web_domains": q_web_domains,
+        # url_parts + domain_profile folded into one tagged-union row
+        # (surface-cap fold, r04 — frees the slot box_coref uses)
+        "web_profile": q_web_profile,
+        # box-embedding coreference scoring (backends/box_embeddings.rs)
+        "box_coref": q_box_coref,
         "lang_profile": q_lang_profile,
         "lang_detect": q_lang_detect,
         # similarity search
@@ -1712,8 +1800,8 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY lang
         """,
         "lang_detect": O.lang_detect(),
-        "web_url_parts": O.web_url_parts(sf),
-        "web_domains": O.web_domains(sf),
+        "web_profile": O.web_profile(sf),
+        "box_coref": _BOX_COREF_ORACLE,
         # similarity search
         "ann_cosine_topk": ANN_ORACLE,
         "ann_ivf_topk": O.ann_ivf_topk(SF001),

@@ -890,6 +890,37 @@ def web_domains(sf_dir: str) -> str:
     """
 
 
+def web_profile(sf_dir: str) -> str:
+    """url_parts + domain_profile as one tagged union (r04 surface fold);
+    each arm NULL-pads the other's typed columns."""
+    return f"""
+        WITH {_url_parse_ctes(sf_dir)}
+        SELECT 'url' AS family, url, host, domain, tld,
+               CAST(path_depth AS BIGINT) AS path_depth,
+               CAST(NULL AS BIGINT) AS n_pages,
+               CAST(NULL AS BIGINT) AS n_hosts,
+               CAST(NULL AS DOUBLE) AS avg_path_depth,
+               CAST(NULL AS BIGINT) AS n_langs,
+               CAST(NULL AS TIMESTAMP) AS first_crawl,
+               CAST(NULL AS TIMESTAMP) AS last_crawl
+        FROM y
+        UNION ALL
+        SELECT 'domain' AS family,
+               CAST(NULL AS VARCHAR) AS url,
+               CAST(NULL AS VARCHAR) AS host,
+               domain,
+               CAST(NULL AS VARCHAR) AS tld,
+               CAST(NULL AS BIGINT) AS path_depth,
+               count(*) AS n_pages,
+               count(DISTINCT host) AS n_hosts,
+               round(avg(path_depth), 6) AS avg_path_depth,
+               count(DISTINCT lang) AS n_langs,
+               min(warc_ts) AS first_crawl,
+               max(warc_ts) AS last_crawl
+        FROM y GROUP BY domain
+    """
+
+
 # --------------------------------------------------------------------------
 # ANN oracles
 
