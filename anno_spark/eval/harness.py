@@ -1,0 +1,318 @@
+"""Evaluation harness: backends x datasets -> aggregated scoreboard.
+
+Behavioral port of the reference harness (reference:
+anno/src/eval/harness.rs:1-1347): a backend registry, config presets
+(quick / full / ci_aware with the same env-var contract), synthetic-
+corpus runs with per-difficulty and per-domain breakdowns, and a text
+report.
+
+Distributed re-architecture: the reference loops cases in one thread
+and re-runs every backend once per breakdown subset
+(harness.rs:832-905).  Here each backend makes ONE ``mapInPandas`` pass
+over the corpus, emitting a per-case metrics row tagged with domain and
+difficulty; overall numbers and every breakdown are then just groupings
+of that same small table — identical values (per-case metrics are
+deterministic), one distributed pass per backend instead of
+1 + #difficulties + #domains.
+
+ML-gated registry arms (ONNX/candle/GLiNER, harness.rs:241-341) map to
+the engine's import-guarded ML seam: they register only when the
+backing dependency exists, mirroring the reference's feature flags.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from anno_spark.eval import evaluator as EV
+
+__all__ = ["EvalConfig", "BackendRegistry", "EvalHarness", "report"]
+
+
+@dataclass
+class EvalConfig:
+    """Defaults transcribed from harness.rs:80-95."""
+
+    max_examples_per_dataset: int = 0  # 0 = no limit
+    breakdown_by_difficulty: bool = True
+    breakdown_by_domain: bool = True
+    breakdown_by_type: bool = True
+    min_confidence: float | None = None
+    normalize_types: bool = False
+
+    @classmethod
+    def quick(cls) -> "EvalConfig":
+        """Limited examples, no domain/difficulty breakdowns
+        (harness.rs:98-111)."""
+        return cls(max_examples_per_dataset=100,
+                   breakdown_by_difficulty=False,
+                   breakdown_by_domain=False)
+
+    @classmethod
+    def full(cls) -> "EvalConfig":
+        """All examples, all breakdowns, normalized types
+        (harness.rs:113-126)."""
+        return cls(normalize_types=True)
+
+    @classmethod
+    def ci_aware(cls) -> "EvalConfig":
+        """Env-var contract transcribed (harness.rs:139-165):
+        CI/GITHUB_ACTIONS caps examples at 50 and drops breakdowns;
+        ANNO_MAX_EXAMPLES overrides the cap."""
+        in_ci = "CI" in os.environ or "GITHUB_ACTIONS" in os.environ
+        try:
+            max_examples = int(os.environ.get("ANNO_MAX_EXAMPLES", ""))
+        except ValueError:
+            max_examples = 50 if in_ci else 0
+        return cls(max_examples_per_dataset=max_examples,
+                   breakdown_by_difficulty=not in_ci,
+                   breakdown_by_domain=not in_ci)
+
+
+class BackendRegistry:
+    """(name, description, extract_fn) entries; extract_fn(text) ->
+    list[Mention] (harness.rs:178-433)."""
+
+    def __init__(self):
+        self._backends: list = []
+
+    def register(self, name: str, description: str, extract_fn) -> None:
+        self._backends.append((name, description, extract_fn))
+
+    def __len__(self):
+        return len(self._backends)
+
+    def __iter__(self):
+        return iter(self._backends)
+
+    def register_defaults(self) -> None:
+        """The always-available tier (harness.rs:219-239): regex,
+        heuristic, and the stacked merge."""
+        from anno_spark.core import heuristic_ner, regex_ner, stacked
+
+        self.register("regex", "Pattern-based NER (30+ regex patterns)",
+                      regex_ner.extract_entities)
+        self.register("heuristic", "Capitalization + gazetteer heuristics",
+                      heuristic_ner.extract_entities)
+        self.register("stacked", "Regex + heuristic stacked merge",
+                      stacked.extract_entities)
+
+    def register_ml(self) -> None:
+        """ONNX arm — registers only when onnxruntime exists, like the
+        reference's feature-gated register_onnx (harness.rs:241-269)."""
+        try:
+            import onnxruntime  # noqa: F401
+
+            from anno_spark.operators.ml_ner import OnnxNerModel
+        except ImportError:
+            return
+        from anno_spark.core.entity import Mention
+
+        model = OnnxNerModel()
+
+        def extract(text):
+            # MlModel.extract_batch emits entity dicts; adapt to Mentions
+            return [Mention(d["text"], d["entity_type"], d["start"],
+                            d["end"], d.get("confidence", 1.0), "ml", "onnx")
+                    for d in model.extract_batch([text])[0]]
+
+        self.register("onnx", "ONNX transformer NER", extract)
+
+
+@dataclass
+class BackendDatasetResult:
+    backend_name: str
+    dataset_name: str
+    num_examples: int
+    num_gold_entities: int
+    precision: float
+    recall: float
+    f1: float
+    macro_f1: float
+    found: int
+    expected: int
+    per_type: dict
+    duration_ms: float
+    tokens_per_second: float
+
+
+@dataclass
+class EvalResults:
+    config: EvalConfig
+    backends: list  # [(name, desc, [BackendDatasetResult])]
+    by_difficulty: dict | None
+    by_domain: dict | None
+    dataset_stats: dict
+
+
+def _case_rows_for_backend(spark, extract_fn, cases, min_confidence):
+    """ONE distributed pass: per-case exact-match counters + per-type
+    stats, tagged with domain/difficulty for later grouping."""
+    import json
+
+    import pandas as pd
+
+    rows = [(i, text, [(t, ty, s, s + len(t)) for (t, ty, s) in ents],
+             dom, diff)
+            for i, (text, ents, dom, diff) in enumerate(cases)]
+    df = spark.createDataFrame(
+        rows,
+        "case_id long, text string, gold array<struct<text string, "
+        "etype string, start long, end long>>, domain string, "
+        "difficulty string")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                t0 = time.perf_counter()
+                mentions = extract_fn(row["text"])
+                elapsed = time.perf_counter() - t0
+                if min_confidence is not None:
+                    mentions = [m for m in mentions
+                                if m.confidence >= min_confidence]
+                tokens = len(row["text"].split())
+                tps = tokens / elapsed if elapsed > 0 else 0.0
+                pred = [(m.start, m.end, m.entity_type) for m in mentions]
+                gold = [(g["start"], g["end"], g["etype"])
+                        for g in row["gold"]]
+                cm = EV.evaluate_test_case(pred, gold,
+                                           str(row["case_id"]), tps)
+                out.append((
+                    row["case_id"], row["domain"], row["difficulty"],
+                    cm.precision, cm.recall, cm.f1,
+                    cm.found, cm.expected, cm.correct, cm.tokens_per_second,
+                    json.dumps({k: [v.found, v.expected, v.correct]
+                                for k, v in cm.per_type.items()}),
+                ))
+            yield pd.DataFrame(out, columns=[
+                "case_id", "domain", "difficulty", "precision", "recall",
+                "f1", "found", "expected", "correct", "tokens_per_second",
+                "per_type"])
+
+    return df.mapInPandas(run, schema=(
+        "case_id long, domain string, difficulty string, precision double, "
+        "recall double, f1 double, found long, expected long, correct long, "
+        "tokens_per_second double, per_type string")).collect()
+
+
+def _rows_to_cases(rows):
+    import json
+
+    out = []
+    for r in rows:
+        per_type = {
+            k: EV.TypeMetrics(found=f, expected=e, correct=c)
+            for k, (f, e, c) in json.loads(r["per_type"]).items()
+        }
+        out.append(EV.CaseMetrics(
+            str(r["case_id"]), r["precision"], r["recall"], r["f1"],
+            per_type, r["found"], r["expected"], r["correct"],
+            r["tokens_per_second"]))
+    return out
+
+
+def _result(backend, dataset, cases, duration_ms) -> BackendDatasetResult:
+    agg = EV.aggregate(cases)
+    return BackendDatasetResult(
+        backend_name=backend, dataset_name=dataset,
+        num_examples=agg.num_test_cases,
+        num_gold_entities=agg.total_expected,
+        precision=agg.precision, recall=agg.recall, f1=agg.f1,
+        macro_f1=agg.macro_f1, found=agg.total_found,
+        expected=agg.total_expected, per_type=agg.per_type,
+        duration_ms=duration_ms,
+        tokens_per_second=agg.tokens_per_second)
+
+
+class EvalHarness:
+    """run_synthetic / run_cases over registered backends."""
+
+    def __init__(self, config: EvalConfig | None = None):
+        self.config = config or EvalConfig()
+        self.registry = BackendRegistry()
+
+    def register_defaults(self):
+        self.registry.register_defaults()
+
+    def run_synthetic(self, spark) -> EvalResults:
+        """Every backend over the synthetic corpus, with breakdowns
+        grouped from the same per-case rows (see module docstring)."""
+        from anno_spark.eval import synthetic as S
+
+        if not len(self.registry):
+            raise ValueError("No backends registered for evaluation")
+        examples = [ex for ex in S.all_datasets() if ex[0]]
+        if self.config.max_examples_per_dataset:
+            examples = examples[:self.config.max_examples_per_dataset]
+
+        backends = []
+        by_difficulty: dict = {}
+        by_domain: dict = {}
+        for (name, desc, extract_fn) in self.registry:
+            t0 = time.perf_counter()
+            rows = _case_rows_for_backend(
+                spark, extract_fn, examples, self.config.min_confidence)
+            duration_ms = (time.perf_counter() - t0) * 1000.0
+            backends.append((name, desc, [
+                _result(name, "synthetic", _rows_to_cases(rows), duration_ms)]))
+            if self.config.breakdown_by_difficulty:
+                for diff in ("Easy", "Medium", "Hard", "Adversarial"):
+                    sub = [r for r in rows if r["difficulty"] == diff]
+                    if sub:
+                        by_difficulty.setdefault(diff, []).append(
+                            _result(name, diff, _rows_to_cases(sub), 0.0))
+            if self.config.breakdown_by_domain:
+                for dom in sorted({r["domain"] for r in rows}):
+                    sub = [r for r in rows if r["domain"] == dom]
+                    by_domain.setdefault(dom, []).append(
+                        _result(name, dom, _rows_to_cases(sub), 0.0))
+
+        stats = S.dataset_stats()
+        return EvalResults(
+            config=self.config, backends=backends,
+            by_difficulty=by_difficulty or None,
+            by_domain=by_domain or None,
+            dataset_stats=stats)
+
+    def run_cases(self, spark, dataset_name: str, cases: list) -> EvalResults:
+        """Evaluate backends over externally-loaded (text, gold) cases —
+        the run_cached_datasets analogue for the loader registry
+        (sources/datasets.py)."""
+        if not len(self.registry):
+            raise ValueError("No backends registered for evaluation")
+        examples = [(text, ents, "External", "Unknown")
+                    for (text, ents) in cases if text]
+        if self.config.max_examples_per_dataset:
+            examples = examples[:self.config.max_examples_per_dataset]
+        backends = []
+        for (name, desc, extract_fn) in self.registry:
+            t0 = time.perf_counter()
+            rows = _case_rows_for_backend(
+                spark, extract_fn, examples, self.config.min_confidence)
+            duration_ms = (time.perf_counter() - t0) * 1000.0
+            backends.append((name, desc, [
+                _result(name, dataset_name, _rows_to_cases(rows),
+                        duration_ms)]))
+        return EvalResults(self.config, backends, None, None, {})
+
+
+def report(results: EvalResults) -> str:
+    """Text scoreboard (the reference's print_summary shape)."""
+    lines = ["backend      dataset      n     P      R      F1     macroF1"]
+    for (name, _desc, dataset_results) in results.backends:
+        for r in dataset_results:
+            lines.append(
+                f"{name:<12} {r.dataset_name:<12} {r.num_examples:<5} "
+                f"{r.precision:.3f}  {r.recall:.3f}  {r.f1:.3f}  "
+                f"{r.macro_f1:.3f}")
+    if results.by_difficulty:
+        lines.append("-- by difficulty --")
+        for diff, rs in results.by_difficulty.items():
+            for r in rs:
+                lines.append(f"{r.backend_name:<12} {diff:<12} "
+                             f"{r.num_examples:<5} {r.precision:.3f}  "
+                             f"{r.recall:.3f}  {r.f1:.3f}")
+    return "\n".join(lines)
