@@ -33,24 +33,32 @@ def _normalize(v):
 
     import pandas as pd
 
+    # NaN and None unify: DuckDB's pandas conversion surfaces BIGINT
+    # NULLs as float NaN, Spark surfaces them as None — same value.
+    # The sentinel also keeps mixed NULL/number columns sortable.
     if isinstance(v, float) and math.isnan(v):
-        return "nan"
+        return "\x00<null>"
     if v is None or v is pd.NaT:
-        return "\x00<null>"  # sortable sentinel (None < str comparisons raise)
+        return "\x00<null>"
     if isinstance(v, bool):
         return v
     if isinstance(v, numbers.Integral):
         return int(v)  # numpy int64 (DuckDB) vs python int (Spark)
     if isinstance(v, numbers.Real):
         f = float(v)
-        return "nan" if math.isnan(f) else round(f, 9)
+        return "\x00<null>" if math.isnan(f) else round(f, 9)
     if hasattr(v, "isoformat"):  # datetime/pd.Timestamp → engine-neutral
         return str(v)
     return v
 
 
 def _rowset(rows):
-    return sorted(tuple(_normalize(v) for v in r) for r in rows)
+    # multiset, not sorted list: normalized rows can mix numbers with the
+    # null sentinel in one column, which is unorderable but hashable
+    # (int 5 and float 5.0 hash/compare equal, as intended)
+    from collections import Counter
+
+    return Counter(tuple(_normalize(v) for v in r) for r in rows)
 
 
 ORACLED = sorted(entry_mod.oracle_sql().keys())
@@ -71,8 +79,8 @@ def test_oracle_match(spark, sf_dir, duck, name):
 
     assert len(spark_rows) == len(duck_rows), f"{name}: row count"
     got, want = _rowset(spark_rows), _rowset(duck_rows)
-    mism = [(g, w) for g, w in zip(got, want) if g != w][:5]
-    assert got == want, f"{name}: first mismatches {mism}"
+    mism = list((got - want).items())[:3] + list((want - got).items())[:3]
+    assert got == want, f"{name}: asymmetric rows {mism}"
 
 
 def test_rows_only_queries_run(spark, sf_dir):
