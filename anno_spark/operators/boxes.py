@@ -122,6 +122,14 @@ def box_coref_pairs(boxes: DataFrame, id_col: str = "box_id",
     product of cells spanned per dim — with ``cell_size`` at or above
     the typical box width that's 1-2 cells/dim.  Returns
     (id_a, id_b, box_score, p_a_b, p_b_a) with id_a < id_b.
+
+    Sizing ``block_dims``: candidates grow as sum over cells of
+    C(occupancy, 2), so pick enough dims that per-cell occupancy stays
+    O(1).  One dim is fine for small corpora; at 10^5 boxes over ~80
+    cell positions per axis, 1-D stripes already mean ~10^8 candidate
+    pairs while 3-D cells keep it near the true-pair count
+    (tests/test_boxes_scale.py pins this with planted-pair recall at
+    100k boxes).
     """
     cell = _cells(F.col("box_min"), F.col("box_max"), 0, cell_size)
     for d in range(1, block_dims):
