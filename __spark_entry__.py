@@ -1424,6 +1424,88 @@ def q_lang_detect(spark, sf_dir):
     return detect_languages(_t(spark, sf_dir, "documents"))
 
 
+def q_lang_analysis(spark, sf_dir):
+    """lang_profile + lang_detect folded into ONE tagged-union row
+    (surface-cap fold, r04 late — frees the slot box_conflicts uses);
+    typed NULL padding like web_profile."""
+    profile = q_lang_profile(spark, sf_dir).select(
+        F.lit("profile").alias("family"),
+        "lang",
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.lit(None).cast("string").alias("detected_lang"),
+        F.col("n_docs").cast("long"),
+        F.col("total_chars").cast("long"),
+        "avg_tokens",
+    )
+    detect = q_lang_detect(spark, sf_dir).select(
+        F.lit("detect").alias("family"),
+        F.lit(None).cast("string").alias("lang"),
+        F.col("doc_id").cast("long"),
+        "detected_lang",
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("total_chars"),
+        F.lit(None).cast("double").alias("avg_tokens"),
+    )
+    return profile.unionByName(detect)
+
+
+def q_box_conflicts(spark, sf_dir):
+    """Uncertainty-aware conflict detection (box_embeddings.rs:463-487)
+    over synthesized claims: each embedding row becomes a dim-2 claim box
+    about subject ``vec_id % 40`` with trust ``(vec_id % 100) / 100``.
+    The oracle re-derives the conflict predicate and severity per pair
+    with an explicit subject self-join on the raw parquet."""
+    from anno_spark.operators.boxes import box_conflicts, boxes_from_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    claims = boxes_from_vectors(emb, vec_col="embedding", radius=0.1,
+                                dims=2).select(
+        (F.col("vec_id") % 40).cast("long").alias("subject_id"),
+        F.col("vec_id").alias("claim_id"),
+        "box_min", "box_max",
+        ((F.col("vec_id") % 100) / F.lit(100.0)).alias("source_trust"),
+    )
+    out = box_conflicts(claims, key_col="subject_id")
+    return out.select(
+        F.col("subject").alias("subject_id"), "claim_a", "claim_b",
+        F.round("claim_a_trust", 6).alias("claim_a_trust"),
+        F.round("claim_b_trust", 6).alias("claim_b_trust"),
+        F.round("severity", 6).alias("severity"),
+    )
+
+
+_BOX_CONFLICTS_ORACLE = """
+    WITH b AS MATERIALIZED (
+      SELECT vec_id % 40 AS subject_id, vec_id AS claim_id,
+             (vec_id % 100) / 100.0 AS source_trust,
+             CAST(embedding[1] AS DOUBLE) - 0.1 AS n1,
+             CAST(embedding[2] AS DOUBLE) - 0.1 AS n2,
+             CAST(embedding[1] AS DOUBLE) + 0.1 AS x1,
+             CAST(embedding[2] AS DOUBLE) + 0.1 AS x2
+      FROM embeddings),
+    p AS (
+      SELECT a.subject_id, a.claim_id AS claim_a, c.claim_id AS claim_b,
+             a.source_trust AS trust_a, c.source_trust AS trust_b,
+             greatest(least(a.x1, c.x1) - greatest(a.n1, c.n1), 0)
+             * greatest(least(a.x2, c.x2) - greatest(a.n2, c.n2), 0) AS iv,
+             (a.x1 - a.n1) * (a.x2 - a.n2) AS va,
+             (c.x1 - c.n1) * (c.x2 - c.n2) AS vb
+      FROM b a JOIN b c ON a.subject_id = c.subject_id
+                       AND a.claim_id < c.claim_id),
+    s AS (
+      SELECT *, 1.0 / (1.0 + va) AS conf_a, 1.0 / (1.0 + vb) AS conf_b,
+             least(va, vb) AS min_vol
+      FROM p)
+    SELECT subject_id, claim_a, claim_b,
+           round(trust_a, 6) AS claim_a_trust,
+           round(trust_b, 6) AS claim_b_trust,
+           round((1.0 - iv / greatest(min_vol, 1e-6))
+                 * (conf_a + conf_b) / 2.0, 6) AS severity
+    FROM s
+    WHERE iv < min_vol * 0.1 AND conf_a > 0.8 AND conf_b > 0.8
+"""
+
+
 # ===========================================================================
 # Similarity search over embeddings
 # ===========================================================================
@@ -1672,8 +1754,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_profile": q_web_profile,
         # box-embedding coreference scoring (backends/box_embeddings.rs)
         "box_coref": q_box_coref,
-        "lang_profile": q_lang_profile,
-        "lang_detect": q_lang_detect,
+        # lang_profile + lang_detect folded into one tagged-union row
+        # (surface-cap fold, r04 late — frees the slot box_conflicts uses)
+        "lang_analysis": q_lang_analysis,
+        # uncertainty-aware box conflict detection (UKGE semantics)
+        "box_conflicts": q_box_conflicts,
         # similarity search
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1790,18 +1875,30 @@ def oracle_sql() -> dict[str, str]:
                    f.ws_tokens, f.bpe_tokens, f.rolling_hash
             FROM s JOIN q USING (doc_id) JOIN f USING (doc_id)
         """,
-        "lang_profile": f"""
-            WITH t AS (
+        "lang_analysis": f"""
+            WITH t AS MATERIALIZED (
               SELECT lang, length(text) AS nc,
                      CASE WHEN trim(text) = '' THEN 0
                           ELSE length(list_filter(regexp_split_to_array(trim(text), '{O.WS}'), x -> x <> '')) END AS nt
               FROM documents)
-            SELECT lang, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS total_chars, round(avg(nt), 6) AS avg_tokens
+            SELECT 'profile' AS family, lang,
+                   CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(NULL AS VARCHAR) AS detected_lang,
+                   count(*) AS n_docs,
+                   CAST(sum(nc) AS BIGINT) AS total_chars,
+                   round(avg(nt), 6) AS avg_tokens
             FROM t GROUP BY lang
+            UNION ALL
+            SELECT 'detect' AS family, CAST(NULL AS VARCHAR) AS lang,
+                   doc_id, detected_lang,
+                   CAST(NULL AS BIGINT) AS n_docs,
+                   CAST(NULL AS BIGINT) AS total_chars,
+                   CAST(NULL AS DOUBLE) AS avg_tokens
+            FROM ({O.lang_detect()})
         """,
-        "lang_detect": O.lang_detect(),
         "web_profile": O.web_profile(sf),
         "box_coref": _BOX_COREF_ORACLE,
+        "box_conflicts": _BOX_CONFLICTS_ORACLE,
         # similarity search
         "ann_cosine_topk": ANN_ORACLE,
         "ann_ivf_topk": O.ann_ivf_topk(SF001),
