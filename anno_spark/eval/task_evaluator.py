@@ -1,0 +1,346 @@
+"""Comprehensive task x dataset x backend evaluation.
+
+Behavioral port of the reference's unified evaluation system (reference:
+anno/src/eval/task_evaluator.rs:1-3263): enumerate every valid
+task-dataset-backend combination from the capability tables
+(:mod:`anno_spark.eval.task_mapping`), evaluate each, and aggregate a
+summary with failures/skips separated and a markdown report.
+
+Dataset access: the reference downloads datasets on demand; this
+sandbox cannot, so cases come from a ``dataset_provider(key, task)``
+callable returning task-shaped cases or None.  A None is recorded as a
+SKIP with the reference's "requires '...'" error pattern
+(task_evaluator.rs:224-236 — ``is_skipped`` keys off exactly those
+substrings), which is also how the reference treats uncached datasets
+under ``require_cached``.
+
+Backend availability mirrors the reference's feature flags: the
+rule-tier backends (regex/pattern, heuristic, stacked, the coref
+resolver family) run; ML-gated names produce "Feature not available"
+skips until their runtime exists.
+
+Reference quirks preserved:
+
+* ``is_backend_compatible`` hard-rejects ``pattern`` for every dataset
+  (task_evaluator.rs:390-399: "RegexNER only extracts structured
+  entities — not compatible with named entity datasets"), and gates
+  ``heuristic`` on the dataset's entity-type list being within
+  PER/ORG/LOC/MISC.
+* The aggregate-CI fallback uses the fixed placeholder std dev 0.05
+  with z=1.96 (rs:2550-2579); the per-score path samples at most 100
+  examples and needs at least 2 (rs:43-48).
+* ``primary_f1`` falls back f1 -> conll_f1 -> strict_f1 (rs:238-247).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+
+from anno_spark.eval import task_mapping as TM
+
+__all__ = ["TaskEvalConfig", "TaskEvalResult", "EvalSummary",
+           "ComprehensiveEvalResults", "TaskEvaluator"]
+
+DEFAULT_Z_SCORE_95 = 1.96
+DEFAULT_PLACEHOLDER_STD_DEV = 0.05
+MAX_CI_SAMPLE_SIZE = 100
+MIN_CI_SAMPLE_SIZE = 2
+
+
+@dataclass
+class TaskEvalConfig:
+    """Defaults transcribed from task_evaluator.rs:140-160."""
+
+    tasks: list = field(default_factory=lambda: list(TM.TASKS))
+    datasets: list = field(default_factory=list)
+    backends: list = field(default_factory=list)
+    max_examples: int | None = None
+    seed: int | None = 42
+    require_cached: bool = False
+    relation_threshold: float = 0.5
+    confidence_intervals: bool = True
+
+
+@dataclass
+class TaskEvalResult:
+    task: str
+    dataset: str
+    backend: str
+    success: bool
+    error: str | None
+    metrics: dict
+    num_examples: int
+    duration_ms: float | None
+    confidence_intervals: dict | None = None
+
+    def is_skipped(self) -> bool:
+        """Skip vs failure (task_evaluator.rs:224-236)."""
+        if self.success or self.error is None:
+            return False
+        return ("Feature not available" in self.error
+                or "requires '" in self.error
+                or "Incompatible entity types" in self.error)
+
+    def primary_f1(self):
+        for key in ("f1", "conll_f1", "strict_f1"):
+            if key in self.metrics:
+                return self.metrics[key]
+        return None
+
+
+@dataclass
+class EvalSummary:
+    total_combinations: int
+    successful: int
+    failed: int
+    skipped: int
+    tasks: list
+    datasets: list
+    backends: list
+
+
+@dataclass
+class ComprehensiveEvalResults:
+    results: list
+    summary: EvalSummary
+
+    def to_markdown(self) -> str:
+        """Dense summary + failures-first tables (rs:1987-2110 shape)."""
+        s = self.summary
+        ok = [r for r in self.results if r.success]
+        avg_examples = (sum(r.num_examples for r in ok) / max(s.successful, 1))
+        timed = [r.duration_ms for r in self.results if r.duration_ms]
+        avg_time = sum(timed) / max(len(timed), 1)
+        md = ["# Eval Report", "",
+              f"Total: {s.total_combinations} | ok: {s.successful} | "
+              f"skip: {s.skipped} | fail: {s.failed} | "
+              f"Avg examples: {avg_examples:.0f} | Avg time: {avg_time:.0f}ms",
+              ""]
+        failures = [r for r in self.results
+                    if not r.success and not r.is_skipped()]
+        if failures:
+            md += ["## Failures", "", "| Task | Dataset | Backend | Error |",
+                   "|------|---------|---------|-------|"]
+            for r in failures:
+                err = (r.error or "N/A").replace("|", "\\|").replace("\n", " ")
+                md.append(f"| {TM.task_name(r.task)} | {r.dataset} | "
+                          f"{r.backend} | {err} |")
+            md.append("")
+        if ok:
+            md += ["## Results", "",
+                   "| Task | Dataset | Backend | F1 | n |",
+                   "|------|---------|---------|----|---|"]
+            for r in sorted(ok, key=lambda r: -(r.primary_f1() or 0.0)):
+                f1 = r.primary_f1()
+                md.append(
+                    f"| {TM.task_name(r.task)} | {r.dataset} | {r.backend} "
+                    f"| {f1:.3f} | {r.num_examples} |"
+                    if f1 is not None else
+                    f"| {TM.task_name(r.task)} | {r.dataset} | {r.backend} "
+                    f"| - | {r.num_examples} |")
+        return "\n".join(md)
+
+
+# rule-tier backends this engine can actually run (the reference's
+# always-available set; ML names skip until their runtime exists)
+def _make_backend(backend_name: str):
+    name = backend_name.lower()
+    if name in ("pattern", "regex"):
+        from anno_spark.core import regex_ner
+        return regex_ner.extract_entities
+    if name == "heuristic":
+        from anno_spark.core import heuristic_ner
+        return heuristic_ner.extract_entities
+    if name == "stacked":
+        from anno_spark.core import stacked
+        return stacked.extract_entities
+    return None
+
+
+def _is_backend_compatible(backend_name: str, dataset: str,
+                           entity_types: list) -> bool:
+    """Transcribed (task_evaluator.rs:383-423)."""
+    name = backend_name.lower()
+    if name == "stacked":
+        return True
+    if name in ("bert_onnx", "candle_ner", "nuner", "gliner_onnx",
+                "gliner_candle", "gliner2", "w2ner", "gliner_poly",
+                "deberta_v3", "albert", "universal_ner", "tplinker"):
+        return True
+    if name in ("pattern", "regex"):
+        return False  # structured-only, never NER datasets (quirk)
+    if name == "heuristic":
+        supported = ("person", "per", "organization", "org", "location",
+                     "loc", "misc")
+        return all(any(t == s or t.startswith(s) for s in supported)
+                   for t in (t.lower() for t in entity_types))
+    return True
+
+
+class TaskEvaluator:
+    """evaluate_all over the capability tables."""
+
+    def __init__(self, dataset_provider=None):
+        """``dataset_provider(dataset_key, task) -> cases | None``.
+
+        NER-shaped cases: [(text, [(etext, etype, start), ...])].
+        Coref-shaped cases: [{"chains": [[mention dicts]]}] (the
+        coref_corpus document shape).
+        """
+        self.dataset_provider = dataset_provider
+        self.mapping = TM.build_mapping()
+
+    # -- public entry (rs:298-380) --
+
+    def evaluate_all(self, config: TaskEvalConfig | None = None
+                     ) -> ComprehensiveEvalResults:
+        config = config or TaskEvalConfig()
+        results = []
+        tasks_evaluated, datasets_used, backends_tested = [], [], []
+
+        tasks = config.tasks or list(TM.TASKS)
+        for task in tasks:
+            tasks_evaluated.append(task)
+            if config.datasets:
+                datasets = [d for d in config.datasets
+                            if task in TM.dataset_tasks(d)]
+            else:
+                datasets = TM.task_datasets(task)
+            for dataset in datasets:
+                if dataset not in datasets_used:
+                    datasets_used.append(dataset)
+                backends = config.backends or TM.get_task_backends(task)
+                for backend_name in backends:
+                    if backend_name not in backends_tested:
+                        backends_tested.append(backend_name)
+                    results.append(self.evaluate_combination(
+                        task, dataset, backend_name, config))
+
+        skipped = sum(1 for r in results if r.is_skipped())
+        failed = sum(1 for r in results if not r.success and not r.is_skipped())
+        summary = EvalSummary(
+            total_combinations=len(results),
+            successful=sum(1 for r in results if r.success),
+            failed=failed, skipped=skipped,
+            tasks=tasks_evaluated, datasets=datasets_used,
+            backends=backends_tested)
+        return ComprehensiveEvalResults(results, summary)
+
+    # -- one combination (rs:425-770) --
+
+    def evaluate_combination(self, task: str, dataset: str,
+                             backend_name: str,
+                             config: TaskEvalConfig) -> TaskEvalResult:
+        def skip(msg):
+            return TaskEvalResult(task, dataset, backend_name, False, msg,
+                                  {}, 0, None)
+
+        entity_types = self._dataset_entity_types(dataset)
+        if not _is_backend_compatible(backend_name, dataset, entity_types):
+            return skip(f"Incompatible entity types: {backend_name} "
+                        f"cannot evaluate {dataset}")
+
+        cases = (self.dataset_provider(dataset, task)
+                 if self.dataset_provider else None)
+        if cases is None:
+            return skip(f"requires 'dataset cache': {dataset} not available")
+        if config.max_examples:
+            cases = cases[:config.max_examples]
+
+        if task in ("ner", "discontinuous_ner"):
+            extract_fn = _make_backend(backend_name)
+            if extract_fn is None:
+                return skip(f"Feature not available: {backend_name} backend")
+            return self._evaluate_ner(task, dataset, backend_name,
+                                      extract_fn, cases, config)
+        if task == "intra_doc_coref":
+            if backend_name.lower() not in (
+                    "coref_resolver", "simple_coref_resolver",
+                    "discourse_aware_resolver"):
+                return skip(f"Feature not available: {backend_name} backend")
+            return self._evaluate_coref(task, dataset, backend_name, cases)
+        return skip(f"Feature not available: {task} requires an ML backend")
+
+    # -- task evaluators --
+
+    def _evaluate_ner(self, task, dataset, backend_name, extract_fn,
+                      cases, config) -> TaskEvalResult:
+        from anno_spark.eval import evaluator as EV
+
+        t0 = time.perf_counter()
+        per_case = []
+        for (text, gold) in cases:
+            pred = [(m.start, m.end, m.entity_type)
+                    for m in extract_fn(text)]
+            gold_t = [(s, s + len(et), ty) for (et, ty, s) in gold]
+            per_case.append(EV.evaluate_test_case(pred, gold_t))
+        duration_ms = (time.perf_counter() - t0) * 1000.0
+        agg = EV.aggregate(per_case)
+        metrics = {"precision": agg.precision, "recall": agg.recall,
+                   "f1": agg.f1, "macro_f1": agg.macro_f1}
+        ci = None
+        if config.confidence_intervals:
+            ci = self._confidence_intervals(per_case, metrics)
+        return TaskEvalResult(task, dataset, backend_name, True, None,
+                              metrics, len(cases), duration_ms, ci)
+
+    def _evaluate_coref(self, task, dataset, backend_name,
+                        cases) -> TaskEvalResult:
+        from anno_spark.eval import coref_metrics
+        from anno_spark.eval.coref_resolver import resolve
+
+        t0 = time.perf_counter()
+        all_pred, all_gold = [], []
+        for doc in cases:
+            mentions = [m for chain in doc["chains"] for m in chain]
+            mentions.sort(key=lambda m: (m["start"], m["end"]))
+            ids = resolve([(m["text"], m.get("entity_type", "PER"))
+                           for m in mentions])
+            by_cluster: dict = {}
+            for m, cid in zip(mentions, ids):
+                by_cluster.setdefault(cid, []).append((m["start"], m["end"]))
+            all_pred.extend(by_cluster.values())
+            all_gold.extend([[(m["start"], m["end"]) for m in chain]
+                             for chain in doc["chains"]])
+        duration_ms = (time.perf_counter() - t0) * 1000.0
+        muc = coref_metrics.muc_score(all_pred, all_gold)
+        b3 = coref_metrics.b_cubed_score(all_pred, all_gold)
+        ceafe = coref_metrics.ceaf_e_score(all_pred, all_gold)
+        conll_f1 = (muc.f1 + b3.f1 + ceafe.f1) / 3.0
+        metrics = {"muc_f1": muc.f1, "b_cubed_f1": b3.f1,
+                   "ceaf_e_f1": ceafe.f1, "conll_f1": conll_f1}
+        return TaskEvalResult(task, dataset, backend_name, True, None,
+                              metrics, len(cases), duration_ms)
+
+    # -- helpers --
+
+    @staticmethod
+    def _dataset_entity_types(dataset: str) -> list:
+        try:
+            from anno_spark.sources.datasets import dataset_from_str
+            return list(dataset_from_str(dataset).entity_types)
+        except Exception:
+            return []
+
+    @staticmethod
+    def _confidence_intervals(per_case, metrics) -> dict:
+        """Per-score CI with the 100-sample cap; aggregate fallback with
+        placeholder std 0.05 (rs:2550-2650)."""
+        sample = per_case[:MAX_CI_SAMPLE_SIZE]
+        if len(sample) >= MIN_CI_SAMPLE_SIZE:
+            out = {}
+            for key in ("f1", "precision", "recall"):
+                values = [getattr(c, key) for c in sample]
+                mean = sum(values) / len(values)
+                var = sum((v - mean) ** 2 for v in values) / (len(values) - 1)
+                margin = DEFAULT_Z_SCORE_95 * math.sqrt(var) / math.sqrt(
+                    len(values))
+                out[f"{key}_ci"] = (max(mean - margin, 0.0),
+                                    min(mean + margin, 1.0))
+            return out
+        margin = DEFAULT_Z_SCORE_95 * DEFAULT_PLACEHOLDER_STD_DEV
+        return {f"{k}_ci": (max(metrics[k] - margin, 0.0),
+                            min(metrics[k] + margin, 1.0))
+                for k in ("f1", "precision", "recall") if k in metrics}
