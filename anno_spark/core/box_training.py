@@ -723,8 +723,7 @@ class BoxEmbeddingTrainer:
         """
         tp = fp = fn = total = 0
         for example in examples:
-            for (pair, s) in zip(self._positive_pairs(example),
-                                 self._pair_scores(self._positive_pairs(example))):
+            for s in self._pair_scores(self._positive_pairs(example)):
                 total += 1
                 if s is None or s < threshold:
                     fn += 1
@@ -748,7 +747,7 @@ class BoxEmbeddingTrainer:
         from anno_spark.eval import coref_metrics
 
         all_pred, all_gold = [], []
-        for example in examples:
+        for ex_idx, example in enumerate(examples):
             entities = [(m["text"], m.get("entity_type", "PER"),
                          m["start"], m["end"])
                         for chain in example.chains for m in chain]
@@ -766,10 +765,12 @@ class BoxEmbeddingTrainer:
                                                np.array(maxs), cfg)
             by_cluster: dict = {}
             for (text, _etype, start, end), cid in zip(entities, cluster_ids):
-                by_cluster.setdefault(cid, []).append((start, end))
+                # example-namespaced mention ids: identical spans in two
+                # examples must not collide in the pooled metric input
+                by_cluster.setdefault(cid, []).append((ex_idx, start, end))
             all_pred.extend(by_cluster.values())
             all_gold.extend(
-                [[(m["start"], m["end"]) for m in chain]
+                [[(ex_idx, m["start"], m["end"]) for m in chain]
                  for chain in example.chains])
         return {
             "muc": coref_metrics.muc_score(all_pred, all_gold).as_tuple(),

@@ -172,8 +172,14 @@ def _is_backend_compatible(backend_name: str, dataset: str,
     if name in ("pattern", "regex"):
         return False  # structured-only, never NER datasets (quirk)
     if name == "heuristic":
+        if entity_types is None:
+            # types unresolvable (unknown dataset key) — the reference
+            # can't hit this (its entity_types() is static); fail closed
+            return False
         supported = ("person", "per", "organization", "org", "location",
                      "loc", "misc")
+        # prefix matching transcribed verbatim (rs:406-415) including
+        # its quirk: "percent".startswith("per") passes the gate
         return all(any(t == s or t.startswith(s) for s in supported)
                    for t in (t.lower() for t in entity_types))
     return True
@@ -215,8 +221,18 @@ class TaskEvaluator:
                 for backend_name in backends:
                     if backend_name not in backends_tested:
                         backends_tested.append(backend_name)
-                    results.append(self.evaluate_combination(
-                        task, dataset, backend_name, config))
+                    # record runtime errors as failed rows instead of
+                    # aborting the sweep (the reference's `?` would
+                    # abort evaluate_all wholesale, rs:354 — recording
+                    # is what its success/error fields exist for)
+                    try:
+                        result = self.evaluate_combination(
+                            task, dataset, backend_name, config)
+                    except Exception as exc:
+                        result = TaskEvalResult(
+                            task, dataset, backend_name, False,
+                            f"evaluation error: {exc}", {}, 0, None)
+                    results.append(result)
 
         skipped = sum(1 for r in results if r.is_skipped())
         failed = sum(1 for r in results if not r.success and not r.is_skipped())
@@ -293,17 +309,20 @@ class TaskEvaluator:
 
         t0 = time.perf_counter()
         all_pred, all_gold = [], []
-        for doc in cases:
+        for doc_idx, doc in enumerate(cases):
             mentions = [m for chain in doc["chains"] for m in chain]
             mentions.sort(key=lambda m: (m["start"], m["end"]))
             ids = resolve([(m["text"], m.get("entity_type", "PER"))
                            for m in mentions])
             by_cluster: dict = {}
             for m, cid in zip(mentions, ids):
-                by_cluster.setdefault(cid, []).append((m["start"], m["end"]))
+                # doc-namespaced mention ids: identical spans in two
+                # documents must NOT collide in the pooled metric input
+                by_cluster.setdefault(cid, []).append(
+                    (doc_idx, m["start"], m["end"]))
             all_pred.extend(by_cluster.values())
-            all_gold.extend([[(m["start"], m["end"]) for m in chain]
-                             for chain in doc["chains"]])
+            all_gold.extend([[(doc_idx, m["start"], m["end"])
+                              for m in chain] for chain in doc["chains"]])
         duration_ms = (time.perf_counter() - t0) * 1000.0
         muc = coref_metrics.muc_score(all_pred, all_gold)
         b3 = coref_metrics.b_cubed_score(all_pred, all_gold)
@@ -317,12 +336,14 @@ class TaskEvaluator:
     # -- helpers --
 
     @staticmethod
-    def _dataset_entity_types(dataset: str) -> list:
+    def _dataset_entity_types(dataset: str):
+        """Types from the registry; None (not []) when unresolvable so
+        compatibility gates can fail closed."""
         try:
             from anno_spark.sources.datasets import dataset_from_str
             return list(dataset_from_str(dataset).entity_types)
         except Exception:
-            return []
+            return None
 
     @staticmethod
     def _confidence_intervals(per_case, metrics) -> dict:

@@ -166,7 +166,8 @@ def box_coref_pairs(boxes: DataFrame, id_col: str = "box_id",
 
 def box_coref_clusters(boxes: DataFrame, id_col: str = "box_id",
                        threshold: float = 0.7, cell_size: float = 1.0,
-                       type_col: str | None = None) -> DataFrame:
+                       type_col: str | None = None,
+                       block_dims: int = 1) -> DataFrame:
     """(id, cluster_id) via transitive closure over above-threshold pairs.
 
     The distributed analogue of BoxCorefResolver's union-find
@@ -177,7 +178,7 @@ def box_coref_clusters(boxes: DataFrame, id_col: str = "box_id",
     counter — a stable relabeling of the same partition).
     """
     pairs = box_coref_pairs(boxes, id_col=id_col, threshold=threshold,
-                            cell_size=cell_size)
+                            cell_size=cell_size, block_dims=block_dims)
     if type_col is not None:
         types = boxes.select(F.col(id_col), F.col(type_col))
         pairs = (

@@ -175,3 +175,52 @@ def test_markdown_report():
     assert "# Eval Report" in md
     assert "stacked" in md
     assert "ok: 1" in md
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions
+
+
+def test_coref_metrics_do_not_collide_across_documents():
+    # two documents with IDENTICAL mention spans: pooling must namespace
+    # them per document, so duplicating a doc leaves per-metric values
+    # unchanged (pre-fix, spans collided in the metric index)
+    from anno_spark.eval import coref_corpus as C
+
+    doc = C.synthetic_coref_dataset(1)[0]
+
+    def provider_one(dataset, task):
+        return [doc] if task == "intra_doc_coref" else None
+
+    def provider_two(dataset, task):
+        return [doc, dict(doc)] if task == "intra_doc_coref" else None
+
+    ev1 = TE.TaskEvaluator(dataset_provider=provider_one)
+    ev2 = TE.TaskEvaluator(dataset_provider=provider_two)
+    cfg = TE.TaskEvalConfig(tasks=["intra_doc_coref"], datasets=["gap"],
+                            backends=["coref_resolver"])
+    m1 = ev1.evaluate_all(cfg).results[0].metrics
+    m2 = ev2.evaluate_all(cfg).results[0].metrics
+    for key in m1:
+        assert m2[key] == pytest.approx(m1[key]), key
+
+
+def test_evaluate_all_records_runtime_errors_as_failures():
+    def empty_provider(dataset, task):
+        return []  # triggers aggregate([]) -> ValueError downstream
+
+    ev = TE.TaskEvaluator(dataset_provider=empty_provider)
+    cfg = TE.TaskEvalConfig(tasks=["ner"], datasets=["wikigold"],
+                            backends=["stacked"])
+    res = ev.evaluate_all(cfg)  # must not raise
+    r = res.results[0]
+    assert not r.success
+    assert not r.is_skipped()
+    assert res.summary.failed == 1
+    assert "Failures" in res.to_markdown()
+
+
+def test_heuristic_gate_fails_closed_on_unknown_types():
+    assert not TE._is_backend_compatible("heuristic", "nonexistent", None)
+    # but stacked stays compatible regardless
+    assert TE._is_backend_compatible("stacked", "nonexistent", None)
