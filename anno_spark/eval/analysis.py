@@ -13,6 +13,10 @@ Reference quirks preserved:
 * ``paired_t_test``'s p-value is the reference's coarse approximation:
   three buckets (0.10 / 0.03 / 0.005) against fixed critical values
   that switch at df=30 (analysis.rs:506-517) — not a real t CDF.
+* Zero-variance differences map to t=0 / p=0.10 (analysis.rs:482-486:
+  ``std_error > 0.0`` guard) — a perfectly consistent nonzero gap is
+  thus reported "not significant"; the reference does the same, so the
+  quirk is transcribed, not fixed.
 * n < 2 returns difference 0, p 1.0, and mean_a/mean_b from the single
   score (analysis.rs:447-462).
 

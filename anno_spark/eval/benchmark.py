@@ -108,18 +108,12 @@ def edge_case_scores(spark, extract_fn, min_count: int = 100):
                             cm.expected - cm.correct))
             yield pd.DataFrame(out, columns=["family", "tp", "fp", "fn"])
 
+    from anno_spark.eval.modes import add_prf_columns
+
     counts = df.mapInPandas(
         run, schema="family string, tp long, fp long, fn long")
     totals = counts.groupBy("family").agg(
         F.count("*").alias("n_examples"),
         F.sum("tp").alias("tp"), F.sum("fp").alias("fp"),
         F.sum("fn").alias("fn_"))
-    precision = F.when(F.col("tp") + F.col("fp") > 0,
-                       F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
-    recall = F.when(F.col("tp") + F.col("fn_") > 0,
-                    F.col("tp") / (F.col("tp") + F.col("fn_"))).otherwise(0.0)
-    out = totals.withColumn("precision", precision).withColumn("recall", recall)
-    f1 = F.when(F.col("precision") + F.col("recall") > 0,
-                2 * F.col("precision") * F.col("recall")
-                / (F.col("precision") + F.col("recall"))).otherwise(0.0)
-    return out.withColumn("f1", f1)
+    return add_prf_columns(totals, fn_col="fn_")

@@ -239,7 +239,17 @@ class EvalHarness:
 
     def run_synthetic(self, spark) -> EvalResults:
         """Every backend over the synthetic corpus, with breakdowns
-        grouped from the same per-case rows (see module docstring)."""
+        grouped from the same per-case rows (see module docstring).
+
+        ``max_examples_per_dataset`` caps the CONCATENATED corpus prefix
+        — faithful to the reference's run_synthetic, which treats the
+        whole corpus as one "synthetic" dataset (harness.rs:601-609).
+        Divergence note: under a cap the reference's breakdowns still
+        re-run on UNCAPPED per-difficulty/domain subsets; here they
+        regroup the capped rows, so later _ALL_ORDER domains drop out
+        of by_domain.  The presets avoid this (quick() disables
+        breakdowns; full() has no cap); only a custom cap+breakdown
+        config sees the difference."""
         from anno_spark.eval import synthetic as S
 
         if not len(self.registry):

@@ -71,7 +71,13 @@ def _has_overlap(s1, e1, s2, e2) -> bool:
 
 
 def overlap_ratio(s1, e1, s2, e2) -> float:
-    """Span IoU; union==0 -> 1.0 (modes.rs:469-487)."""
+    """Span IoU (modes.rs:469-487).
+
+    The union==0 -> 1.0 branch is transcribed but unreachable — two
+    zero-width spans hit the istart >= iend early return first and
+    score 0.0.  The reference has the identical dead branch; parity
+    keeps it.
+    """
     istart, iend = max(s1, s2), min(e1, e2)
     if istart >= iend:
         return 0.0
@@ -89,7 +95,11 @@ def _entities_match(pred, gold, mode: str, config: EvalConfig) -> bool:
         return ps == gs and pe == ge and pt == gt
     if mode == "exact":
         return ps == gs and pe == ge
-    # partial / type: (thresholded) overlap + exact type
+    # partial / type: (thresholded) overlap + exact type.  NOTE: the
+    # min_overlap threshold applies to TYPE mode too — the reference's
+    # config path treats Partial|Type as one arm (modes.rs:640-651)
+    # even though its descriptions say Type is "any overlap"; behavior
+    # wins over the description, transcribed as-is.
     if not _has_overlap(ps, pe, gs, ge):
         return False
     if config.min_overlap > 0.0 and \
@@ -148,6 +158,23 @@ def multi_mode_results(predicted: list, gold: list,
 # distributed surface
 
 
+def add_prf_columns(df, fn_col: str = "fn"):
+    """Append precision/recall/f1 column expressions to a DataFrame
+    carrying tp/fp/<fn_col> counters (shared by multi_mode_df and
+    benchmark.edge_case_scores)."""
+    from pyspark.sql import functions as F
+
+    precision = F.when(F.col("tp") + F.col("fp") > 0,
+                       F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
+    recall = F.when(F.col("tp") + F.col(fn_col) > 0,
+                    F.col("tp") / (F.col("tp") + F.col(fn_col))).otherwise(0.0)
+    out = df.withColumn("precision", precision).withColumn("recall", recall)
+    f1 = F.when(F.col("precision") + F.col("recall") > 0,
+                2 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall"))).otherwise(0.0)
+    return out.withColumn("f1", f1)
+
+
 def multi_mode_df(pred, gold, doc_col: str = "url",
                   config: EvalConfig | None = None):
     """Corpus-level four-mode PRF as a 4-row DataFrame.
@@ -195,13 +222,5 @@ def multi_mode_df(pred, gold, doc_col: str = "url",
     totals = per_doc.groupBy("mode").agg(
         F.sum("tp").alias("tp"), F.sum("fp").alias("fp"),
         F.sum("fn").alias("fn"))
-    precision = F.when(F.col("tp") + F.col("fp") > 0,
-                       F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
-    recall = F.when(F.col("tp") + F.col("fn") > 0,
-                    F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
-    out = totals.withColumn("precision", precision).withColumn("recall", recall)
-    f1 = F.when(F.col("precision") + F.col("recall") > 0,
-                2 * F.col("precision") * F.col("recall")
-                / (F.col("precision") + F.col("recall"))).otherwise(0.0)
-    return out.withColumn("f1", f1).select(
+    return add_prf_columns(totals).select(
         "mode", "tp", "fp", "fn", "precision", "recall", "f1")

@@ -194,3 +194,17 @@ def test_confidence_exprs_match_python(spark):
             Confidence(row.ca).combine(Confidence(row.cb)).get())
         assert r.lerp == pytest.approx(
             Confidence(row.ca).lerp(Confidence(row.cb), 0.25).get())
+
+
+def test_zero_variance_nonzero_gap_quirk():
+    # a perfectly consistent gap has zero diff variance -> t=0, p=0.10,
+    # "not significant" (analysis.rs:482-486) — reference quirk, pinned.
+    # Exactly-representable values (0.75, 0.5) keep the variance at a
+    # true 0.0; non-representable gaps (0.85 vs 0.80) accumulate ~1e-17
+    # variance through the mean and blow up t instead — in the
+    # reference's f64 math just as here.
+    t = A.paired_t_test("A", [0.75] * 50, "B", [0.5] * 50)
+    assert t.difference == pytest.approx(0.25)
+    assert t.t_statistic == 0.0
+    assert t.p_value == 0.10
+    assert not t.significant_05

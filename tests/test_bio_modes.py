@@ -284,3 +284,19 @@ def test_multi_mode_df_matches_local(spark):
         p, r, f1 = M._prf(tp, fp, fn)
         assert row.precision == pytest.approx(p)
         assert row.f1 == pytest.approx(f1)
+
+
+def test_type_mode_threshold_quirk():
+    # the reference's config path applies min_overlap to TYPE mode too
+    # (modes.rs:640-651) despite describing it as "any overlap" — pinned
+    pred, gold = [(0, 10, "PER")], [(9, 20, "PER")]  # IoU = 1/20
+    assert M.evaluate_with_mode(pred, gold, "type",
+                                M.EvalConfig(0.0)).f1 == pytest.approx(1.0)
+    assert M.evaluate_with_mode(pred, gold, "type",
+                                M.EvalConfig(0.5)).f1 == 0.0
+
+
+def test_zero_width_span_overlap_quirk():
+    # the union==0 branch is dead code in the reference too: identical
+    # zero-width spans score 0.0 via the early return
+    assert M.overlap_ratio(5, 5, 5, 5) == 0.0
