@@ -38,6 +38,9 @@ def main(argv=None) -> int:
     known = {
         "extract", "x", "crossdoc", "coalesce", "pipeline", "p",
         "eval", "e", "validate", "v", "info", "i", "models",
+        "debug", "d", "analyze", "a", "dataset", "ds",
+        "benchmark", "bench", "enhance", "query", "q", "compare",
+        "strata", "batch", "b",
         "-h", "--help", "--version",
     }
     if argv and argv[0] not in known:

@@ -8,11 +8,20 @@ from __future__ import annotations
 
 import argparse
 
+from .commands import analyze as analyze_cmd
+from .commands import batch as batch_cmd
+from .commands import benchmark as benchmark_cmd
+from .commands import compare as compare_cmd
 from .commands import crossdoc as crossdoc_cmd
+from .commands import dataset as dataset_cmd
+from .commands import debug as debug_cmd
+from .commands import enhance as enhance_cmd
 from .commands import evalcmd
 from .commands import extract as extract_cmd
 from .commands import info as info_cmd
 from .commands import pipeline as pipeline_cmd
+from .commands import query as query_cmd
+from .commands import strata as strata_cmd
 from .commands import validate as validate_cmd
 
 FORMATS = ("human", "json", "jsonl", "tsv", "inline", "grounded", "html", "tree", "summary")
@@ -147,6 +156,152 @@ def build_parser() -> argparse.ArgumentParser:
     )
     va.add_argument("files", nargs="+", help="JSONL files to validate")
     va.set_defaults(func=validate_cmd.run)
+
+    # -------------------------------------------------------------------- debug
+    dbg = sub.add_parser(
+        "debug", aliases=["d"], help="Generate debug visualization (text or HTML)"
+    )
+    dbg.add_argument("-t", "--text", help="Input text to process")
+    dbg.add_argument("-f", "--file", metavar="PATH")
+    dbg.add_argument("positional", nargs="*", metavar="TEXT")
+    dbg.add_argument("--url", metavar="URL")
+    dbg.add_argument("--clean", action="store_true")
+    dbg.add_argument("--normalize", action="store_true")
+    dbg.add_argument("--detect-lang", action="store_true")
+    dbg.add_argument("--export-graph", metavar="FORMAT")
+    dbg.add_argument("-m", "--model", default="stacked", choices=MODELS)
+    dbg.add_argument("--html", action="store_true", help="Output as HTML")
+    dbg.add_argument("--export", metavar="PATH")
+    dbg.add_argument("--export-format", default="full", metavar="FORMAT")
+    dbg.add_argument("-o", "--output", metavar="PATH")
+    dbg.add_argument("--coref", action="store_true",
+                     help="Run coreference resolution to form tracks")
+    dbg.add_argument("--link-kb", action="store_true",
+                     help="Link tracks to KB identities")
+    dbg.add_argument("-q", "--quiet", action="store_true")
+    dbg.add_argument("--verbose", action="store_true")
+    dbg.set_defaults(func=debug_cmd.run)
+
+    # ------------------------------------------------------------------ analyze
+    an = sub.add_parser(
+        "analyze", aliases=["a"], help="Deep analysis with multiple models"
+    )
+    an.add_argument("-t", "--text")
+    an.add_argument("-f", "--file", metavar="PATH")
+    an.add_argument("positional", nargs="*")
+    an.set_defaults(func=analyze_cmd.run)
+
+    # ------------------------------------------------------------------ dataset
+    ds = sub.add_parser("dataset", aliases=["ds"], help="Work with NER datasets")
+    ds_sub = ds.add_subparsers(dest="action", required=True)
+    ds_list = ds_sub.add_parser("list", aliases=["ls"])
+    ds_list.set_defaults(func=dataset_cmd.run, action="list")
+    ds_info = ds_sub.add_parser("info", aliases=["i"])
+    ds_info.add_argument("-d", "--dataset", required=True)
+    ds_info.set_defaults(func=dataset_cmd.run, action="info")
+    ds_eval = ds_sub.add_parser("eval", aliases=["e"])
+    ds_eval.add_argument("-d", "--dataset", default="synthetic")
+    ds_eval.add_argument("-m", "--model", default="stacked", choices=MODELS)
+    ds_eval.add_argument("-t", "--task", default="ner",
+                         choices=("ner", "coref", "relation"))
+    ds_eval.set_defaults(func=dataset_cmd.run, action="eval")
+
+    # ---------------------------------------------------------------- benchmark
+    bm = sub.add_parser(
+        "benchmark", aliases=["bench"],
+        help="Comprehensive evaluation across task-dataset-backend combinations",
+    )
+    bm.add_argument("--suite", default="backends",
+                    choices=("backends", "advanced", "tasks"))
+    bm.add_argument("--tasks", action="append", default=[], metavar="TASK")
+    bm.add_argument("--datasets", action="append", default=[], metavar="DATASET")
+    bm.add_argument("--backends", action="append", default=[], metavar="BACKEND")
+    bm.add_argument("--data", action="append", default=[], metavar="KEY=PATH",
+                    help="Gold corpus path per dataset key (loads via Spark)")
+    bm.add_argument("--max-examples", type=int, default=None)
+    bm.add_argument("--format", default="markdown", choices=("markdown", "json"))
+    bm.add_argument("-o", "--output", metavar="PATH")
+    bm.set_defaults(func=benchmark_cmd.run)
+
+    # ------------------------------------------------------------------ enhance
+    en = sub.add_parser(
+        "enhance", help="Enhance an existing GroundedDocument (coref, KB link)"
+    )
+    en.add_argument("input", metavar="FILE",
+                    help='GroundedDocument JSON file (or "-" for stdin)')
+    en.add_argument("--coref", action="store_true")
+    en.add_argument("--link-kb", action="store_true")
+    en.add_argument("-e", "--export", metavar="PATH")
+    en.add_argument("--export-format", default="full", metavar="FORMAT")
+    en.add_argument("--format", default="human", choices=FORMATS)
+    en.add_argument("-q", "--quiet", action="store_true")
+    en.set_defaults(func=enhance_cmd.run)
+
+    # -------------------------------------------------------------------- query
+    qu = sub.add_parser("query", aliases=["q"], help="Query and filter entities/clusters")
+    qu.add_argument("input", metavar="FILE",
+                    help="GroundedDocument JSON or cross-doc clusters JSON (- for stdin)")
+    qu.add_argument("-t", "--type", metavar="TYPE")
+    qu.add_argument("-e", "--entity", metavar="TEXT")
+    qu.add_argument("--min-confidence", type=float, metavar="FLOAT")
+    qu.add_argument("--start-offset", type=int, metavar="OFFSET")
+    qu.add_argument("--end-offset", type=int, metavar="OFFSET")
+    qu.add_argument("--negated", action="store_true")
+    qu.add_argument("--quantified", action="store_true")
+    qu.add_argument("--untracked", action="store_true")
+    qu.add_argument("--linked", action="store_true")
+    qu.add_argument("--unlinked", action="store_true")
+    qu.add_argument("--format", default="human", choices=FORMATS)
+    qu.add_argument("-o", "--output", metavar="PATH")
+    qu.set_defaults(func=query_cmd.run)
+
+    # ------------------------------------------------------------------ compare
+    cp = sub.add_parser("compare", help="Compare documents, models, or clusters")
+    cp.add_argument("file1", metavar="FILE1")
+    cp.add_argument("file2", nargs="?", metavar="FILE2")
+    cp.add_argument("--models", action="store_true",
+                    help="Compare models on same text (file1 is the text file)")
+    cp.add_argument("--model-list", type=lambda s: s.split(","), default=[],
+                    metavar="MODELS", help="Comma-separated model names")
+    cp.add_argument("--format", default="diff", help="diff, table, or summary")
+    cp.add_argument("-o", "--output", metavar="PATH")
+    cp.set_defaults(func=compare_cmd.run)
+
+    # ------------------------------------------------------------------- strata
+    st = sub.add_parser(
+        "strata", help="Hierarchical clustering: reveal strata of abstraction"
+    )
+    st.add_argument("-i", "--input", metavar="FILE",
+                    help="GraphDocument JSON file")
+    st.add_argument("--stdin", action="store_true")
+    st.add_argument("-m", "--method", default="leiden")
+    st.add_argument("-r", "--resolution", type=float, default=1.0)
+    st.add_argument("-l", "--levels", type=int, default=3)
+    st.add_argument("-f", "--format", default="json",
+                    choices=("json", "jsonl", "human"))
+    st.add_argument("-o", "--output", metavar="PATH")
+    st.add_argument("-v", "--verbose", action="store_true")
+    st.set_defaults(func=strata_cmd.run)
+
+    # -------------------------------------------------------------------- batch
+    ba = sub.add_parser(
+        "batch", aliases=["b"], help="Batch process multiple documents efficiently"
+    )
+    ba.add_argument("-d", "--dir", metavar="DIR")
+    ba.add_argument("--stdin", action="store_true",
+                    help="Read JSONL {id, text} rows from stdin")
+    ba.add_argument("-m", "--model", default="stacked", choices=MODELS)
+    ba.add_argument("--coref", action="store_true")
+    ba.add_argument("--link-kb", action="store_true")
+    ba.add_argument("-p", "--parallel", type=int, default=1,
+                    help="Workers >1 routes extraction through Spark")
+    ba.add_argument("--progress", action="store_true")
+    ba.add_argument("--cache", action="store_true")
+    ba.add_argument("--spark", action="store_true")
+    ba.add_argument("-o", "--output", metavar="DIR")
+    ba.add_argument("--format", default="grounded", choices=FORMATS)
+    ba.add_argument("-q", "--quiet", action="store_true")
+    ba.set_defaults(func=batch_cmd.run)
 
     # --------------------------------------------------------------------- info
     inf = sub.add_parser("info", aliases=["i"], help="Show model and version info")

@@ -609,6 +609,269 @@ class TestEvalComparison:
 
 
 # ---------------------------------------------------------------------------
+# second-wave subcommands: debug/analyze/query/compare/enhance/strata/
+# dataset/benchmark/batch
+# ---------------------------------------------------------------------------
+
+
+class TestDebugCmd:
+    def test_text_output_with_tracks_and_identities(self, capsys):
+        rc, out, _ = run_cli(
+            capsys, "debug", "--coref", "--link-kb",
+            "-t", "Barack Obama met Angela Merkel. He praised her.",
+        )
+        assert rc == 0
+        assert "barack obama" in out
+        assert "Q76" in out and "Q567" in out
+        assert "[PRON: He]" in out
+
+    def test_html_output(self, capsys, tmp_path):
+        dest = tmp_path / "report.html"
+        rc, out, _ = run_cli(
+            capsys, "debug", "--html", "-o", str(dest), "--coref",
+            "-t", "Marie Curie won the Nobel Prize.",
+        )
+        assert rc == 0
+        html = dest.read_text()
+        assert html.startswith("<!DOCTYPE html>")
+        assert "Marie Curie" in html
+        assert "<sub>PER</sub>" in html
+        assert "Tracks" in html
+
+
+class TestAnalyzeCmd:
+    def test_agreement_breakdown(self, capsys):
+        rc, out, _ = run_cli(
+            capsys, "analyze", "-t", "Elon Musk founded SpaceX on 14 March 2002."
+        )
+        assert rc == 0
+        assert "DEEP ANALYSIS" in out
+        for section in ("pattern", "heuristic", "stacked", "Model Agreement"):
+            assert section in out
+        assert "Agreed (in stacked from pattern/heuristic)" in out
+
+
+@pytest.fixture()
+def grounded_file(capsys, tmp_path):
+    path = tmp_path / "doc.json"
+    rc, _, _ = run_cli(
+        capsys, "extract", "-q", "--format", "jsonl",
+        "-t", "Elon Musk founded SpaceX. Elon Musk lives in Texas.",
+        "--export", str(path),
+    )
+    assert rc == 0
+    capsys.readouterr()
+    return path
+
+
+class TestQueryCmd:
+    def test_type_filter(self, capsys, grounded_file):
+        rc, out, _ = run_cli(capsys, "query", str(grounded_file), "-t", "PER")
+        assert rc == 0
+        assert "Found 3 entities" in out
+        assert "Texas" not in out
+
+    def test_entity_and_confidence_filters(self, capsys, grounded_file):
+        rc, out, _ = run_cli(
+            capsys, "query", str(grounded_file), "-e", "musk",
+            "--min-confidence", "0.7", "--format", "json",
+        )
+        sigs = json.loads(out)
+        assert len(sigs) == 2
+        assert all("Musk" in s["surface"] for s in sigs)
+
+    def test_range_filter(self, capsys, grounded_file):
+        rc, out, _ = run_cli(
+            capsys, "query", str(grounded_file),
+            "--start-offset", "0", "--end-offset", "10", "--format", "json",
+        )
+        sigs = json.loads(out)
+        assert [s["surface"] for s in sigs] == ["Elon Musk"]
+
+    def test_clusters_input(self, capsys, tmp_path, news_dir):
+        clusters_file = tmp_path / "clusters.json"
+        rc, out, _ = run_cli(
+            capsys, "crossdoc", str(news_dir), "--format", "jsonl",
+            "--threshold", "0.4",
+        )
+        clusters = [json.loads(l) for l in out.splitlines() if l]
+        clusters_file.write_text(json.dumps(clusters))
+        rc, out, _ = run_cli(
+            capsys, "query", str(clusters_file), "-e", "nvidia", "--format", "json"
+        )
+        filtered = json.loads(out)
+        assert filtered and all(
+            "nvidia" in c["canonical_name"].lower() for c in filtered
+        )
+
+
+class TestCompareCmd:
+    def test_models_table(self, capsys, tmp_path):
+        f = tmp_path / "text.txt"
+        f.write_text("Elon Musk founded SpaceX in 2002.")
+        rc, out, _ = run_cli(
+            capsys, "compare", str(f), "--models",
+            "--model-list", "pattern,stacked", "--format", "table",
+        )
+        assert rc == 0
+        assert "Model Comparison" in out
+        assert "pattern" in out and "stacked" in out
+
+    def test_document_diff(self, capsys, grounded_file, tmp_path):
+        other = tmp_path / "other.json"
+        rc, _, _ = run_cli(
+            capsys, "extract", "-q", "--format", "jsonl",
+            "-t", "Elon Musk founded SpaceX.", "--export", str(other),
+        )
+        capsys.readouterr()
+        rc, out, _ = run_cli(
+            capsys, "compare", str(grounded_file), str(other), "--format", "summary"
+        )
+        assert rc == 0
+        assert "Comparison Summary" in out
+        assert "Common:" in out
+
+    def test_models_requires_list(self, capsys, tmp_path):
+        f = tmp_path / "t.txt"
+        f.write_text("x")
+        rc, _, err = run_cli(capsys, "compare", str(f), "--models")
+        assert rc == 1
+        assert "--model-list" in err
+
+
+class TestEnhanceCmd:
+    def test_coref_and_kb(self, capsys, tmp_path):
+        doc = tmp_path / "doc.json"
+        rc, _, _ = run_cli(
+            capsys, "extract", "-q", "--format", "jsonl",
+            "-t", "Barack Obama spoke. He smiled.", "--export", str(doc),
+        )
+        capsys.readouterr()
+        out_doc = tmp_path / "enhanced.json"
+        rc, out, err = run_cli(
+            capsys, "enhance", str(doc), "--coref", "--link-kb",
+            "--export", str(out_doc), "--format", "grounded",
+        )
+        assert rc == 0
+        enhanced = json.loads(out_doc.read_text())
+        assert enhanced["tracks"]
+        kb = {i["canonical_name"]: i["kb_id"] for i in enhanced["identities"]}
+        assert kb.get("barack obama") == "Q76"
+
+
+class TestStrataCmd:
+    def test_levels_annotated(self, capsys, tmp_path):
+        graph = {
+            "nodes": [{"id": n, "name": n, "node_type": "PER"}
+                      for n in ("a", "b", "c", "d")],
+            "edges": [
+                {"source": "a", "target": "b", "relation": "R", "confidence": 1.0},
+                {"source": "c", "target": "d", "relation": "R", "confidence": 1.0},
+            ],
+        }
+        f = tmp_path / "graph.json"
+        f.write_text(json.dumps(graph))
+        rc, out, _ = run_cli(
+            capsys, "strata", "--input", str(f), "--levels", "2", "--format", "json"
+        )
+        assert rc == 0
+        clustered = json.loads(out)
+        for n in clustered["nodes"]:
+            assert "level_0_community" in n["properties"]
+            assert "level_1_community" in n["properties"]
+        # two disconnected pairs → two level-0 communities
+        level0 = {n["properties"]["level_0_community"] for n in clustered["nodes"]}
+        assert len(level0) == 2
+
+    def test_unsupported_method(self, capsys, tmp_path):
+        f = tmp_path / "g.json"
+        f.write_text(json.dumps({"nodes": [], "edges": []}))
+        rc, _, err = run_cli(
+            capsys, "strata", "--input", str(f), "--method", "raptor"
+        )
+        assert rc == 1
+        assert "Unsupported clustering method" in err
+
+    def test_requires_input(self, capsys):
+        rc, _, err = run_cli(capsys, "strata")
+        assert rc == 1
+        assert "--input" in err
+
+
+class TestDatasetCmd:
+    def test_list(self, capsys):
+        rc, out, _ = run_cli(capsys, "dataset", "list")
+        assert rc == 0
+        assert "wikigold" in out
+        assert "synthetic" in out
+
+    def test_info_registry(self, capsys):
+        rc, out, _ = run_cli(capsys, "dataset", "info", "-d", "wikigold")
+        assert rc == 0
+        assert "WikiGold" in out
+        assert "Format: conll" in out
+
+    def test_info_synthetic(self, capsys):
+        rc, out, _ = run_cli(capsys, "dataset", "info", "-d", "synthetic")
+        assert rc == 0
+        assert "Examples: 170" in out
+
+    def test_info_unknown(self, capsys):
+        rc, _, err = run_cli(capsys, "dataset", "info", "-d", "nope_xyz")
+        assert rc == 1
+        assert "Unknown dataset" in err
+
+    def test_eval_synthetic(self, capsys):
+        rc, out, _ = run_cli(capsys, "dataset", "eval", "-m", "stacked")
+        assert rc == 0
+        assert "Precision:" in out and "F1:" in out
+        assert "170 examples" in out
+
+
+class TestBenchmarkCmd:
+    def test_advanced_suite(self, capsys):
+        rc, out, _ = run_cli(capsys, "benchmark", "--suite", "advanced")
+        assert rc == 0
+        assert out.count("F1=100.0%") == 3
+
+    def test_backends_suite_json(self, capsys):
+        rc, out, _ = run_cli(
+            capsys, "benchmark", "--suite", "backends", "--format", "json",
+            "--max-examples", "10",
+        )
+        d = json.loads(out)
+        assert d["total_examples"] == 10
+        assert {b["name"] for b in d["backends"]} == {"Pattern", "Heuristic", "Stacked"}
+
+
+class TestBatchCmd:
+    def test_stdin_jsonl(self, capsys, monkeypatch):
+        import io
+
+        monkeypatch.setattr(
+            sys, "stdin",
+            io.StringIO('{"id":"a","text":"Nvidia rose."}\n'
+                        '{"id":"b","text":"Paris is nice."}\n'),
+        )
+        rc, out, _ = run_cli(capsys, "batch", "--stdin", "--format", "json", "-q")
+        docs = json.loads(out)
+        assert [d["id"] for d in docs] == ["a", "b"]
+
+    def test_requires_source(self, capsys):
+        rc, _, err = run_cli(capsys, "batch")
+        assert rc == 1
+        assert "--dir" in err
+
+    def test_dir_delegates_to_pipeline(self, capsys, tmp_path):
+        (tmp_path / "x.txt").write_text("Berlin is in Germany.")
+        rc, out, _ = run_cli(
+            capsys, "batch", "-d", str(tmp_path), "--format", "json", "-q"
+        )
+        docs = json.loads(out)
+        assert docs[0]["id"] == "x"
+
+
+# ---------------------------------------------------------------------------
 # --spark path: distributed extraction under the CLI
 # ---------------------------------------------------------------------------
 
