@@ -40,7 +40,7 @@ def main(argv=None) -> int:
         "eval", "e", "validate", "v", "info", "i", "models",
         "debug", "d", "analyze", "a", "dataset", "ds",
         "benchmark", "bench", "enhance", "query", "q", "compare",
-        "strata", "batch", "b",
+        "strata", "batch", "b", "cache", "config",
         "-h", "--help", "--version",
     }
     if argv and argv[0] not in known:

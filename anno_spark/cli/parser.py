@@ -303,6 +303,41 @@ def build_parser() -> argparse.ArgumentParser:
     ba.add_argument("-q", "--quiet", action="store_true")
     ba.set_defaults(func=batch_cmd.run)
 
+    # -------------------------------------------------------------------- cache
+    from .commands import cacheconf
+
+    ca = sub.add_parser("cache", help="Manage cache for extraction results")
+    ca.add_argument("--cache-dir", metavar="DIR", help="Override cache directory")
+    ca_sub = ca.add_subparsers(dest="action", required=True)
+    ca_sub.add_parser("list", aliases=["ls"]).set_defaults(
+        func=cacheconf.run_cache, action="list")
+    ca_sub.add_parser("clear").set_defaults(func=cacheconf.run_cache, action="clear")
+    ca_sub.add_parser("stats").set_defaults(func=cacheconf.run_cache, action="stats")
+    ca_inv = ca_sub.add_parser("invalidate")
+    ca_inv.add_argument("--model", metavar="MODEL")
+    ca_inv.add_argument("--file", metavar="FILE")
+    ca_inv.set_defaults(func=cacheconf.run_cache, action="invalidate")
+
+    # ------------------------------------------------------------------- config
+    co = sub.add_parser("config", help="Manage configuration files for workflows")
+    co.add_argument("--config-dir", metavar="DIR", help="Override config directory")
+    co_sub = co.add_subparsers(dest="action", required=True)
+    co_save = co_sub.add_parser("save")
+    co_save.add_argument("name", metavar="NAME")
+    co_save.add_argument("--model", metavar="MODEL")
+    co_save.add_argument("--coref", action="store_true")
+    co_save.add_argument("--link-kb", action="store_true")
+    co_save.add_argument("--threshold", type=float, metavar="FLOAT")
+    co_save.set_defaults(func=cacheconf.run_config, action="save")
+    co_sub.add_parser("list", aliases=["ls"]).set_defaults(
+        func=cacheconf.run_config, action="list")
+    co_show = co_sub.add_parser("show")
+    co_show.add_argument("name", metavar="NAME")
+    co_show.set_defaults(func=cacheconf.run_config, action="show")
+    co_del = co_sub.add_parser("delete")
+    co_del.add_argument("name", metavar="NAME")
+    co_del.set_defaults(func=cacheconf.run_config, action="delete")
+
     # --------------------------------------------------------------------- info
     inf = sub.add_parser("info", aliases=["i"], help="Show model and version info")
     inf.set_defaults(func=info_cmd.run_info)

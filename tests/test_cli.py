@@ -871,6 +871,47 @@ class TestBatchCmd:
         assert docs[0]["id"] == "x"
 
 
+class TestCacheConfigCmds:
+    def test_cache_lifecycle(self, capsys, tmp_path):
+        d = tmp_path / "cache"
+        d.mkdir()
+        (d / "stacked-abc.json").write_text("{}")
+        (d / "pattern-xyz.json").write_text("{}")
+        rc, out, _ = run_cli(capsys, "cache", "--cache-dir", str(d), "list")
+        assert rc == 0 and "2 files" in out
+        rc, out, _ = run_cli(capsys, "cache", "--cache-dir", str(d), "stats")
+        assert "Files: 2" in out
+        rc, out, _ = run_cli(
+            capsys, "cache", "--cache-dir", str(d), "invalidate",
+            "--model", "stacked",
+        )
+        assert "Removed 1 cache entries" in out
+        rc, out, _ = run_cli(capsys, "cache", "--cache-dir", str(d), "clear")
+        assert "Cache cleared" in out
+        assert not d.exists()
+
+    def test_config_lifecycle(self, capsys, tmp_path):
+        d = tmp_path / "conf"
+        rc, out, _ = run_cli(
+            capsys, "config", "--config-dir", str(d), "save", "myflow",
+            "--model", "stacked", "--coref", "--threshold", "0.7",
+        )
+        assert rc == 0 and "Saved config" in out
+        rc, out, _ = run_cli(capsys, "config", "--config-dir", str(d), "list")
+        assert "myflow" in out
+        rc, out, _ = run_cli(capsys, "config", "--config-dir", str(d), "show", "myflow")
+        saved = json.loads(out.split("\n", 1)[1])
+        assert saved == {"model": "stacked", "coref": True, "threshold": 0.7}
+        rc, out, _ = run_cli(
+            capsys, "config", "--config-dir", str(d), "delete", "myflow"
+        )
+        assert "Deleted config" in out
+        rc, _, err = run_cli(
+            capsys, "config", "--config-dir", str(d), "show", "myflow"
+        )
+        assert rc == 1 and "not found" in err
+
+
 # ---------------------------------------------------------------------------
 # --spark path: distributed extraction under the CLI
 # ---------------------------------------------------------------------------
