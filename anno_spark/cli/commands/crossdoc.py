@@ -32,8 +32,9 @@ from ..utils import collect_text_files
 def run(args):
     verbose = args.verbose
 
+    imported_docs = None
     if args.import_paths or args.stdin:
-        documents, doc_paths = _load_imported(args)
+        documents, doc_paths, imported_docs = _load_imported(args)
     else:
         documents, doc_paths = _extract_directory(args)
 
@@ -47,13 +48,32 @@ def run(args):
             file=sys.stderr,
         )
 
-    # crossdoc.rs:617-625 — LSH for large document sets only
-    config = CDCRConfig(
-        min_similarity=args.threshold,
-        require_type_match=args.require_type_match,
-        use_lsh=len(documents) > 100,
-    )
-    clusters = CDCRResolver.with_config(config).resolve(documents)
+    track_docs = [g for g in (imported_docs or []) if g.tracks]
+    if track_docs:
+        # crossdoc.rs:442-507 import mode: Level-2 tracks exist, so
+        # clustering runs at track level via the coalesce Resolver
+        # (coalesce/src/resolver.rs — word-set Jaccard / embedding cosine),
+        # and imported docs WITHOUT tracks contribute nothing (the
+        # reference's Corpus path only iterates tracks — quirk kept).
+        if verbose:
+            print(
+                f"Resolving inter-document coreference (threshold: "
+                f"{args.threshold}, require_type_match: "
+                f"{args.require_type_match})...",
+                file=sys.stderr,
+            )
+        clusters = _resolve_tracks(track_docs, args)
+        if verbose:
+            print(f"Created {len(clusters)} identities from inter-doc coref",
+                  file=sys.stderr)
+    else:
+        # crossdoc.rs:617-625 — LSH for large document sets only
+        config = CDCRConfig(
+            min_similarity=args.threshold,
+            require_type_match=args.require_type_match,
+            use_lsh=len(documents) > 100,
+        )
+        clusters = CDCRResolver.with_config(config).resolve(documents)
 
     # crossdoc.rs:628-656 — filters
     filtered = []
@@ -98,13 +118,57 @@ class _neg_str(str):
 # ---------------------------------------------------------------------------
 
 
+def _resolve_tracks(track_docs, args):
+    """crossdoc.rs:451-507 — coalesce Resolver over imported tracks,
+    identities re-packed as CrossDocClusters (one mention per signal in
+    each member track, positions as entity indices — the reference's own
+    approximation)."""
+    from ...core.coalesce import Resolver, TrackData
+
+    tracks = []
+    track_index = {}
+    for gdoc in track_docs:
+        for t in gdoc.tracks:
+            tracks.append(
+                TrackData(
+                    doc_id=gdoc.id,
+                    track_id=t["id"],
+                    canonical_surface=t["canonical_surface"],
+                    entity_type=t.get("entity_type"),
+                    cluster_confidence=float(t.get("cluster_confidence", 1.0)),
+                    embedding=t.get("embedding"),
+                )
+            )
+            track_index[(gdoc.id, t["id"])] = t
+
+    identities = (
+        Resolver.new()
+        .with_threshold(args.threshold)
+        .require_type_match(args.require_type_match)
+        .resolve_inter_doc_coref(tracks)
+    )
+    clusters = []
+    for ident in identities:
+        c = CrossDocCluster(ident.id, ident.canonical_name,
+                            entity_type=ident.entity_type,
+                            confidence=ident.confidence)
+        for doc_id, track_id in ident.track_refs:
+            t = track_index[(doc_id, track_id)]
+            for pos in range(len(t.get("signal_ids", []))):
+                c.add_mention(doc_id, pos)
+        clusters.append(c)
+    return clusters
+
+
 def _load_imported(args):
     """crossdoc.rs:245-440 — GroundedDocument JSON files / globs / stdin."""
     documents: list[Document] = []
     doc_paths: dict[str, str] = {}
+    grounded_docs: list = []
 
     def add_grounded(d: dict, source: str):
         gdoc = from_dict(d)
+        grounded_docs.append(gdoc)
         # crossdoc.rs:178-243 load_grounded_doc_legacy: prefer tracks
         # (canonical mention per chain), else raw signals.
         if gdoc.tracks:
@@ -141,7 +205,7 @@ def _load_imported(args):
             add_grounded(d, f"stdin:{line_num}")
             if args.verbose:
                 print(f"  Imported document from stdin line {line_num}", file=sys.stderr)
-        return documents, doc_paths
+        return documents, doc_paths, grounded_docs
 
     import_files: list[str] = []
     for pattern in args.import_paths:
@@ -175,7 +239,7 @@ def _load_imported(args):
         if args.verbose:
             print(f"  Loaded {os.path.basename(path)}", file=sys.stderr)
 
-    return documents, doc_paths
+    return documents, doc_paths, grounded_docs
 
 
 def _extract_directory(args):
