@@ -38,7 +38,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from anno_spark.plans.iterloop import iter_checkpoint
-from anno_spark.plans.sizing import checkpoint_count, fits_broadcast, probe_spread
+from anno_spark.plans.sizing import (
+    checkpoint_count,
+    fits_broadcast,
+    in_dropped_buckets,
+    probe_spread,
+)
 
 MIN_SIMILARITY = 0.5  # cdcr.rs:433-442 default
 
@@ -110,15 +115,26 @@ def _band_hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         )
 
 
+def band_signatures(keys: DataFrame) -> DataFrame:
+    """keys → (key_id, band_hashes array<bigint>), the unexploded LSH
+    band-hash vector per key (5 bands × 3 rows, cdcr.rs:288-296).
+
+    The array form exists for the small path's emit-once pair dedup
+    (see :func:`candidate_pairs`): with both keys' vectors attached from
+    a broadcast, "is this raw join row the pair's first shared surviving
+    band?" is a map-side expression, and no pairs-proportional shuffle
+    is ever needed."""
+    return keys.select("key_id", "surface", "entity_type").mapInPandas(
+        _band_hash_batches,
+        schema="key_id bigint, surface string, entity_type string, band_hashes array<bigint>",
+    ).select("key_id", "band_hashes")
+
+
 def band_table(keys: DataFrame) -> DataFrame:
     """keys → (key_id, band, band_hash), one row per LSH band
     (5 bands × 3 rows, cdcr.rs:288-296). Compact on purpose: the join
     shuffles nothing but ids and hashes."""
-    sigs = keys.select("key_id", "surface", "entity_type").mapInPandas(
-        _band_hash_batches,
-        schema="key_id bigint, surface string, entity_type string, band_hashes array<bigint>",
-    )
-    return sigs.select(
+    return band_signatures(keys).select(
         "key_id",
         F.posexplode("band_hashes").alias("band", "band_hash"),
     )
@@ -134,6 +150,7 @@ def candidate_pairs(
     max_bucket_size: int | None = None,
     broadcast_max_keys: int = 1_000_000,
     _pre_dedup: bool = False,
+    band_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Self-join on (band, band_hash) → distinct key pairs (a < b), with
     surfaces/types re-attached AFTER dedup (the pre-dedup blowup carries
@@ -152,6 +169,14 @@ def candidate_pairs(
     dropped *for candidate generation only* — at web scale a bucket with
     10⁵ distinct surfaces contributes 10¹⁰ pairs and is always a
     stop-surface artifact. None = exact reference parity.
+
+    ``band_sigs`` — the (key_id, band_hashes) table ``bands`` was
+    exploded from (:func:`band_signatures`). When provided on the small
+    path, pair dedup runs MAP-SIDE (emit-once: a pair is kept only in
+    the row whose band is its first shared *surviving* band, dropped
+    buckets masked to NULL in the broadcast-attached vectors), removing
+    the last pairs-proportional shuffle (the dropDuplicates exchange
+    carried ~bands× the distinct-pair count). Identical output set.
     """
     # ONE job: lazy checkpoint + exact count (bands is consumed twice by
     # the self-join; the count also feeds the broadcast gate, replacing
@@ -164,14 +189,31 @@ def candidate_pairs(
         n_keys, CDCR_BYTES_PER_KEY_EST
     )
     maybe_broadcast = F.broadcast if small else (lambda df: df)
+    emit_once = small and band_sigs is not None and not _pre_dedup
+    dropped_buckets: list | None = None
     if max_bucket_size is not None:
         sizes = bands.groupBy("band", "band_hash").agg(
             F.count("*").alias("bucket_n")
         )
-        bands = bands.join(
-            maybe_broadcast(sizes.where(F.col("bucket_n") <= max_bucket_size)),
-            ["band", "band_hash"],
-        ).drop("bucket_n")
+        if emit_once:
+            # tiny by construction (every dropped bucket holds > cap
+            # members); as a driver literal, bucket survival becomes
+            # decidable map-side — see plans/sizing.in_dropped_buckets
+            dropped_buckets = [
+                (int(r["band"]), int(r["band_hash"]))
+                for r in sizes.where(F.col("bucket_n") > max_bucket_size).collect()
+            ]
+            if dropped_buckets:
+                bands = bands.where(
+                    ~in_dropped_buckets(
+                        dropped_buckets, F.col("band"), F.col("band_hash")
+                    )
+                )
+        else:
+            bands = bands.join(
+                maybe_broadcast(sizes.where(F.col("bucket_n") <= max_bucket_size)),
+                ["band", "band_hash"],
+            ).drop("bucket_n")
     # spread the probe side: AQE coalesces the small band table into a
     # handful of partitions, but the join EXPLODES output ~10²–10³× (hot
     # buckets), so the probe side must be pre-spread or the explosion
@@ -186,17 +228,14 @@ def candidate_pairs(
     if small:
         left = left.repartition(probe_spread(par, n_band_rows))
     right = bands.select("band", "band_hash", F.col("key_id").alias("key_b"))
-    raw = (
-        left.join(maybe_broadcast(right), ["band", "band_hash"])
-        .where(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b")
+    raw = left.join(maybe_broadcast(right), ["band", "band_hash"]).where(
+        F.col("key_a") < F.col("key_b")
     )
     if _pre_dedup:
         # diagnostic surface for the skew soak: the PRE-dedup pair
         # stream, partitioned exactly as the explosion map stage runs it
         # (the dedup shuffle would rebalance and hide any imbalance)
-        return raw
-    pairs = raw.dropDuplicates(["key_a", "key_b"])
+        return raw.select("key_a", "key_b")
     # attach surfaces + PRECOMPUTED word sets: the scoring pass over the
     # (huge, mostly-rejected) pair table then allocates one array per
     # pair (the intersect) instead of re-splitting both surfaces — the
@@ -207,6 +246,58 @@ def candidate_pairs(
         "entity_type",
         _word_set(F.col("surface")).alias("words"),
     ).withColumn("n_words", F.size("words"))
+    if emit_once:
+        # map-side dedup: keep the row whose band is the pair's first
+        # shared SURVIVING band. The masked band-hash vectors ride the
+        # same per-side broadcast as the attrs (one join per side); the
+        # filter then drops the ~bands× band-duplicates before anything
+        # shuffles, so the whole path from explosion to scored pairs is
+        # exchange-free past the fixed-size probe spread.
+        masked = F.col("band_hashes")
+        if dropped_buckets:
+            masked = F.transform(
+                F.col("band_hashes"),
+                lambda h, i: F.when(
+                    ~in_dropped_buckets(dropped_buckets, i, h), h
+                ),
+            )
+        enriched = attrs.join(
+            band_sigs.select("key_id", masked.alias("mbh")), "key_id"
+        )
+        first_shared = F.array_position(
+            F.zip_with("mbh_a", "mbh_b", lambda a, b: a == b), F.lit(True)
+        )
+        return (
+            raw.join(
+                F.broadcast(
+                    enriched.select(
+                        F.col("key_id").alias("key_a"),
+                        F.col("surface").alias("surface_a"),
+                        F.col("entity_type").alias("type_a"),
+                        F.col("words").alias("words_a"),
+                        F.col("n_words").alias("nw_a"),
+                        F.col("mbh").alias("mbh_a"),
+                    )
+                ),
+                "key_a",
+            )
+            .join(
+                F.broadcast(
+                    enriched.select(
+                        F.col("key_id").alias("key_b"),
+                        F.col("surface").alias("surface_b"),
+                        F.col("entity_type").alias("type_b"),
+                        F.col("words").alias("words_b"),
+                        F.col("n_words").alias("nw_b"),
+                        F.col("mbh").alias("mbh_b"),
+                    )
+                ),
+                "key_b",
+            )
+            .where(F.col("band") + F.lit(1) == first_shared)
+            .drop("band", "band_hash", "mbh_a", "mbh_b")
+        )
+    pairs = raw.select("key_a", "key_b").dropDuplicates(["key_a", "key_b"])
     return pairs.join(
         maybe_broadcast(
             attrs.select(
@@ -564,8 +655,15 @@ def resolve_mentions(
     cluster these become snapshot tables (SnapshotStore).
     """
     keys = surface_keys(mentions).localCheckpoint(eager=False)
-    bands = band_table(keys)
-    pairs = candidate_pairs(bands, keys, max_bucket_size=max_bucket_size)
+    # unexploded band vectors, cached: explode feeds the self-join, the
+    # array form feeds the small path's map-side emit-once pair dedup
+    band_sigs = band_signatures(keys).localCheckpoint(eager=False)
+    bands = band_sigs.select(
+        "key_id", F.posexplode("band_hashes").alias("band", "band_hash")
+    )
+    pairs = candidate_pairs(
+        bands, keys, max_bucket_size=max_bucket_size, band_sigs=band_sigs
+    )
     edges = score_pairs(pairs, min_similarity, require_type_match)
     comps = connected_components(keys, edges).localCheckpoint(eager=False)
     idents = identities_table(keys, comps)

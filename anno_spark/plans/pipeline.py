@@ -105,8 +105,13 @@ def run(
 
     def compute_components():
         keys = rx.surface_keys(mentions).localCheckpoint()
-        bands = rx.band_table(keys)
-        pairs = rx.candidate_pairs(bands, keys, max_bucket_size=max_bucket_size)
+        band_sigs = rx.band_signatures(keys).localCheckpoint(eager=False)
+        bands = band_sigs.select(
+            "key_id", F.posexplode("band_hashes").alias("band", "band_hash")
+        )
+        pairs = rx.candidate_pairs(
+            bands, keys, max_bucket_size=max_bucket_size, band_sigs=band_sigs
+        )
         edges = rx.score_pairs(pairs, min_similarity, require_type_match)
         comps = rx.connected_components(keys, edges)
         return keys.join(comps, "key_id")

@@ -46,6 +46,29 @@ def probe_spread(par: int, n_rows: int, rows_per_task: int = 2000) -> int:
     return min(max(par * 4, 64), max(n_rows // rows_per_task + 1, par))
 
 
+def in_dropped_buckets(dropped: list, band_col, hash_col):
+    """Predicate: (band, band_hash) is one of the literal dropped LSH
+    buckets. Built from per-band plain-``isin`` lists — codegen-friendly,
+    no struct literals. ``dropped`` is small by construction: every
+    dropped bucket holds > cap members, so there are at most
+    n_keys·n_bands/cap of them (8k at a 1M-key build side, cap 1000).
+
+    Shared by the banded blockers' small paths, where bucket survival
+    must be decidable MAP-SIDE (it feeds the emit-once pair dedup — a
+    pair is emitted only from its first shared *surviving* band, so a
+    shuffling dropDuplicates on the exploded pair stream is never
+    needed)."""
+    from pyspark.sql import functions as F
+
+    by_band: dict[int, list[int]] = {}
+    for b, h in dropped:
+        by_band.setdefault(int(b), []).append(int(h))
+    cond = F.lit(False)
+    for b, hs in sorted(by_band.items()):
+        cond = cond | ((band_col == F.lit(b)) & hash_col.isin(hs))
+    return cond
+
+
 def fits_broadcast(
     n_rows: int, est_bytes_per_row: int, max_bytes: int = MAX_BROADCAST_BYTES
 ) -> bool:

@@ -187,6 +187,63 @@ class TestSkewProofBandJoins:
         }
         assert small == large and len(small) > 0
 
+    def test_minhash_emit_once_matches_dedup_with_dropped_buckets(
+        self, spark, sf_dir
+    ):
+        """The small path dedups band-duplicate pairs MAP-SIDE (emit once
+        from the pair's first shared SURVIVING band, dropped buckets
+        masked to NULL). With a tiny bucket cap forcing drops, a pair
+        whose first raw shared band was dropped must still be emitted —
+        from its first surviving band — exactly once, matching the
+        shuffled path's dropDuplicates semantics."""
+        import os
+
+        from anno_spark.operators.dedup import (
+            doc_signatures_with_id,
+            minhash_candidate_pairs,
+        )
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        sigs = doc_signatures_with_id(docs).localCheckpoint()
+        small = minhash_candidate_pairs(
+            sigs, max_bucket_size=5, min_est_jaccard=0.8
+        )
+        rows = small.collect()
+        pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+        assert len(rows) == len(pairs), "a pair was emitted from >1 band"
+        large = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_candidate_pairs(
+                sigs, max_bucket_size=5, broadcast_max_docs=1, min_est_jaccard=0.8
+            ).collect()
+        }
+        assert pairs == large and len(pairs) > 0
+
+    def test_minhash_small_path_has_no_pair_shuffle(self, spark, sf_dir):
+        """The small path must be map-only past the band explosion: the
+        only Exchange is the fixed-size probe-side round-robin spread of
+        the (doc, band, hash) table — no exchange sits downstream of the
+        band self-join, so shuffle volume is independent of how many
+        candidate pairs explode (the r04 plan still shuffled ~2.4x the
+        distinct-pair count through a dropDuplicates exchange)."""
+        import os
+        import re
+
+        from anno_spark.operators.dedup import (
+            doc_signatures_with_id,
+            minhash_candidate_pairs,
+        )
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        pairs = minhash_candidate_pairs(
+            doc_signatures_with_id(docs), min_est_jaccard=0.8
+        )
+        plan = _plan(pairs)
+        # no aggregation-style dedup on the pair stream
+        assert "dropDuplicates" not in plan
+        n_hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_hash_exchanges == 0, plan
+
     def test_driver_cc_result_is_broadcast_join(self, spark):
         from pyspark.sql import functions as F
 
