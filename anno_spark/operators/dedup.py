@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from anno_spark.plans.sizing import (
     checkpoint_count,
+    first_shared_band16,
     fits_broadcast,
     in_dropped_buckets,
     probe_spread,
@@ -388,10 +389,19 @@ def simhash_near_duplicates(
     if small:
         left = left.repartition(probe_spread(par, n_docs * SIMHASH_BANDS))
     right = bands.select("band", "band_val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"))
+    # emit-once pair dedup, pure map-side: both full simhashes ride the
+    # explosion, so "is this row the pair's FIRST shared band?" is an
+    # expression on the XOR's 16-bit slices. Replaces a
+    # pairs-proportional dropDuplicates exchange with a codegen'd filter
+    # (identical output set; works on the shuffled web-scale path too,
+    # no broadcast required).
     pairs = (
         left.join(maybe_broadcast(right), ["band", "band_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        .where(
+            F.col("band")
+            == first_shared_band16(F.col("h_a"), F.col("h_b"), SIMHASH_BANDS)
+        )
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).where(

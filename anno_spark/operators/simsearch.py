@@ -223,7 +223,12 @@ def binary_hash_pairs(
     # table fits, so a hot band bucket's pair explosion parallelizes.
     # One job: lazy checkpoint + exact count; byte-based broadcast gate
     # (4 exploded band rows ~24 B + the 8 B hash, per vector).
-    from anno_spark.plans.sizing import checkpoint_count, fits_broadcast, probe_spread
+    from anno_spark.plans.sizing import (
+        checkpoint_count,
+        first_shared_band16,
+        fits_broadcast,
+        probe_spread,
+    )
 
     bh, n_vecs = checkpoint_count(bh)
     small = fits_broadcast(n_vecs, 4 * 24 + 16)
@@ -246,10 +251,17 @@ def binary_hash_pairs(
     if small:
         left = left.repartition(probe_spread(par, n_vecs * 4))
     right = bands.select("band", "band_val", F.col("vec_id").alias("vec_b"), F.col("bhash").alias("h_b"))
+    # emit-once pair dedup (plans/sizing.first_shared_band16): both full
+    # hashes ride the explosion, so the band-duplicate rows are removed
+    # by a codegen'd filter instead of a pairs-proportional
+    # dropDuplicates exchange — identical output set on either path
     pairs = (
         left.join(maybe_broadcast(right), ["band", "band_val"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
+        .where(
+            F.col("band")
+            == first_shared_band16(F.col("h_a"), F.col("h_b"), 4)
+        )
         .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("vec_a", "vec_b", "hamming")

@@ -69,6 +69,28 @@ def in_dropped_buckets(dropped: list, band_col, hash_col):
     return cond
 
 
+def first_shared_band16(hash_a, hash_b, n_bands: int):
+    """0-based index of the FIRST 16-bit band on which two 64-bit hashes
+    agree (band b = bits [16b, 16b+16)), as a codegen'd CASE chain over
+    the XOR's slices. The emit-once dedup for banded-Hamming blockers:
+    a band self-join emits a pair once per shared band, and keeping only
+    the row where ``band == first_shared_band16(h_a, h_b, bands)``
+    removes the duplicates map-side — both full hashes already ride the
+    explosion, so no broadcast, no dropDuplicates exchange."""
+    from pyspark.sql import functions as F
+
+    xor = hash_a.bitwiseXOR(hash_b)
+    chain = None
+    for b in range(n_bands):
+        shared_b = F.shiftright(xor, 16 * b).bitwiseAND(F.lit(65535)) == 0
+        chain = (
+            F.when(shared_b, F.lit(b))
+            if chain is None
+            else chain.when(shared_b, F.lit(b))
+        )
+    return chain
+
+
 def fits_broadcast(
     n_rows: int, est_bytes_per_row: int, max_bytes: int = MAX_BROADCAST_BYTES
 ) -> bool:
