@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from anno_spark.plans.sizing import checkpoint_count, fits_broadcast
 
-from .resolve import CDCR_NUM_BANDS, band_table
+from .resolve import CDCR_NUM_BANDS, band_signatures, band_table
 
 # Per-row broadcast-size estimates (UnsafeRow + field payload; generous,
 # same convention as resolve.CDCR_BYTES_PER_KEY_EST)
@@ -101,25 +101,55 @@ def _kb_side(df: DataFrame, n_rows: int, bytes_per_row: int) -> DataFrame:
 
 def link_candidates(surfaces: DataFrame, kb_index: dict) -> DataFrame:
     """LSH-blocked candidate generation: band join surface↔alias
-    (broadcast KB side) → distinct (key_id, alias_id)."""
+    (broadcast KB side) → distinct (key_id, alias_id).
+
+    On the broadcast path the (key_id, alias_id) dedup runs MAP-SIDE
+    (emit-once: keep the row whose band is the pair's first shared band,
+    from the two band-hash vectors — the surface's rides the probe rows,
+    the alias's comes back from a second compact broadcast), so no
+    candidate-proportional exchange exists. The shuffled 10⁶-alias
+    fallback keeps dropDuplicates: there the alias-vector attach would
+    itself shuffle, and AQE owns the plan anyway."""
     aliases = kb_index["aliases"]
     alias_for_bands = aliases.select(
         F.col("alias_id").alias("key_id"),
         F.col("alias").alias("surface"),
         F.lit("").alias("entity_type"),
     )
-    surf_bands = band_table(surfaces)
-    alias_bands = band_table(alias_for_bands).select(
-        F.col("key_id").alias("alias_id"), "band", "band_hash"
+    alias_sigs = band_signatures(alias_for_bands).select(
+        F.col("key_id").alias("alias_id"), F.col("band_hashes").alias("bh_al")
     )
-    # band_table emits exactly CDCR_NUM_BANDS rows per alias
-    alias_bands = _kb_side(
-        alias_bands, kb_index["n_aliases"] * CDCR_NUM_BANDS, BAND_BYTES_EST
+    alias_bands = alias_sigs.select(
+        "alias_id", F.posexplode("bh_al").alias("band", "band_hash")
+    )
+    # band_table emits exactly CDCR_NUM_BANDS rows per alias; the
+    # emit-once variant also broadcasts the compact per-alias vector
+    # (CDCR_NUM_BANDS longs), accounted in the byte gate
+    kb_small = fits_broadcast(
+        kb_index["n_aliases"],
+        CDCR_NUM_BANDS * BAND_BYTES_EST + CDCR_NUM_BANDS * 8 + 24,
+    )
+    if not kb_small:
+        surf_bands = band_table(surfaces)
+        return (
+            surf_bands.join(alias_bands, ["band", "band_hash"])
+            .select("key_id", "alias_id")
+            .dropDuplicates(["key_id", "alias_id"])
+        )
+    surf_sigs = band_signatures(surfaces)
+    surf_bands = surf_sigs.select(
+        "key_id",
+        F.col("band_hashes").alias("bh_surf"),
+        F.posexplode("band_hashes").alias("band", "band_hash"),
+    )
+    first_shared = F.array_position(
+        F.zip_with("bh_surf", "bh_al", lambda a, b: a == b), F.lit(True)
     )
     return (
-        surf_bands.join(alias_bands, ["band", "band_hash"])
+        surf_bands.join(F.broadcast(alias_bands), ["band", "band_hash"])
+        .join(F.broadcast(alias_sigs), "alias_id")
+        .where(F.col("band") + F.lit(1) == first_shared)
         .select("key_id", "alias_id")
-        .dropDuplicates(["key_id", "alias_id"])
     )
 
 

@@ -183,6 +183,50 @@ def million_kb_index(spark):
     return linking.build_kb_index(spark, _million_alias_kb(spark))
 
 
+class TestEmitOnceCandidates:
+    """link_candidates' broadcast path dedups (key_id, alias_id)
+    MAP-SIDE (emit once from the pair's first shared band, read off the
+    two broadcast-attached band-hash vectors) — it must match the
+    shuffled fallback's dropDuplicates semantics exactly, emit each pair
+    exactly once, and plan with zero hash-partitioning exchanges
+    downstream of the band explosion."""
+
+    def test_matches_shuffled_fallback(self, spark, big_kb_index, monkeypatch):
+        from anno_spark.operators import linking
+
+        # exact aliases share ALL 5 bands with their KB row, so the
+        # emit-once filter is exercised on genuinely multi-band pairs
+        sample = [r for i, r in enumerate(_kb_rows()) if i % 97 == 0][:60]
+        surfaces = _surfaces(
+            spark,
+            [(a.lower(), "ORG") for a, _, _ in sample]
+            + [("zzz unrelated surface", "ORG")],
+        ).localCheckpoint()
+        rows = linking.link_candidates(surfaces, big_kb_index).collect()
+        pairs = {(r["key_id"], r["alias_id"]) for r in rows}
+        assert len(rows) == len(pairs), "a pair was emitted from >1 band"
+        monkeypatch.setattr(linking, "fits_broadcast", lambda *a, **k: False)
+        shuffled = {
+            (r["key_id"], r["alias_id"])
+            for r in linking.link_candidates(surfaces, big_kb_index).collect()
+        }
+        assert pairs == shuffled and len(pairs) > 0
+
+    def test_broadcast_path_has_no_pair_shuffle(self, spark, big_kb_index):
+        """Map-only past the band explosion: shuffle volume must be
+        independent of the candidate-pair count."""
+        import re
+
+        from anno_spark.operators import linking
+
+        sample = [r for i, r in enumerate(_kb_rows()) if i % 293 == 0][:40]
+        surfaces = _surfaces(spark, [(a.lower(), "ORG") for a, _, _ in sample])
+        cands = linking.link_candidates(surfaces, big_kb_index)
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+        assert "dropDuplicates" not in plan
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan
+
+
 class TestMillionAliasKb:
     def test_postings_exceed_broadcast_budget_and_gate_off(self, million_kb_index):
         """The exact gate the operator evaluates: ~1.4e7 posting rows ×
