@@ -151,11 +151,28 @@ def box_coref_pairs(boxes: DataFrame, id_col: str = "box_id",
         F.col("cell"),
         F.col(id_col).alias("id_b"),
         F.col("box_min").alias("b_min"), F.col("box_max").alias("b_max"))
+    # a pair sharing k cells appears k times; emit ONCE, map-side, from
+    # the pair's MINIMUM shared cell (the PBSM reference-point trick).
+    # Per dim the shared cells form the contiguous range
+    # [max(lo_a, lo_b), min(hi_a, hi_b)]; its low end needs only the two
+    # mins — both already on the join row — so the dedup is a codegen'd
+    # filter, not a pairs-proportional dropDuplicates exchange.
+    def _canon(d: int):
+        return F.greatest(
+            F.floor(F.element_at(F.col("a_min"), d + 1) / F.lit(cell_size)),
+            F.floor(F.element_at(F.col("b_min"), d + 1) / F.lit(cell_size)),
+        ).cast("long")
+
+    if block_dims == 1:
+        canon = _canon(0)
+    else:
+        canon = F.concat_ws(
+            ":", *[_canon(d).cast("string") for d in range(block_dims)]
+        )
     cand = (
         left.join(right, "cell")
         .where(F.col("id_a") < F.col("id_b"))
-        # a pair spanning k shared cells appears k times — keep one
-        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("cell") == canon)
     )
     return (
         with_box_score(cand)

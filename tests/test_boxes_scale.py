@@ -103,3 +103,72 @@ def test_plan_is_shuffle_join_not_cartesian(spark, big_boxes):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pair_dedup_is_map_side(spark, big_boxes):
+    """The only hash exchanges are the cell join's two inputs (box-
+    proportional); past the join the pair stream is exchange-free — the
+    min-shared-cell filter replaced the (id_a, id_b) dropDuplicates
+    whose shuffle volume grew with the PAIR count."""
+    import re
+
+    df, _ = big_boxes
+    plan = OB.box_coref_pairs(df, threshold=THRESHOLD, cell_size=CELL,
+                              block_dims=BLOCK_DIMS) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # once the cached fixture's stats are known Catalyst may broadcast
+    # the cell join (zero hash exchanges) — the gate is that NO exchange
+    # ever partitions by pair identity, not that the join shuffles
+    parts = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    assert all(p.startswith("cell") for p in parts), parts
+    assert "Join" in plan
+
+
+def _reference_pairs(df, threshold, cell_size, block_dims):
+    """The pre-emit-once path: explode cells, join, dropDuplicates."""
+    cell = OB._cells(F.col("box_min"), F.col("box_max"), 0, cell_size)
+    for d in range(1, block_dims):
+        nxt = OB._cells(F.col("box_min"), F.col("box_max"), d, cell_size)
+        cell = F.flatten(F.transform(
+            cell, lambda c: F.transform(
+                nxt, lambda n: F.concat_ws(":", c.cast("string"),
+                                           n.cast("string")))))
+    tagged = df.select("box_id", "box_min", "box_max",
+                       F.explode(cell).alias("cell"))
+    left = tagged.select(
+        "cell", F.col("box_id").alias("id_a"),
+        F.col("box_min").alias("a_min"), F.col("box_max").alias("a_max"))
+    right = tagged.select(
+        "cell", F.col("box_id").alias("id_b"),
+        F.col("box_min").alias("b_min"), F.col("box_max").alias("b_max"))
+    cand = (left.join(right, "cell").where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    scored = OB.with_box_score(cand).where(
+        F.col("box_score") >= F.lit(float(threshold)))
+    return {(r.id_a, r.id_b) for r in scored.select("id_a", "id_b").collect()}
+
+
+def test_emit_once_matches_dropduplicates_reference(spark):
+    """Map-side min-shared-cell dedup == the dropDuplicates reference on
+    WIDE boxes spanning several cells each (incl. negative coordinates,
+    where floor-division cell math is easiest to get wrong), at
+    block_dims 1 and 3 — and each pair is emitted exactly once."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(400):
+        mn = rng.uniform(-5.0, 5.0, DIM)
+        w = rng.uniform(0.5, 3.0, DIM)  # spans up to 4 cells per dim
+        rows.append((i, [float(x) for x in mn], [float(x) for x in mn + w]))
+    df = spark.createDataFrame(
+        rows, "box_id long, box_min array<double>, box_max array<double>"
+    ).cache()
+    for bd in (1, 3):
+        got_rows = OB.box_coref_pairs(
+            df, threshold=0.1, cell_size=CELL, block_dims=bd
+        ).select("id_a", "id_b").collect()
+        got = {(r.id_a, r.id_b) for r in got_rows}
+        assert len(got_rows) == len(got), "a pair was emitted from >1 cell"
+        ref = _reference_pairs(df, threshold=0.1, cell_size=CELL,
+                               block_dims=bd)
+        assert got == ref and len(got) > 0, bd
+    df.unpersist()
