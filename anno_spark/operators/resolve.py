@@ -485,12 +485,19 @@ def connected_components(
     edges, n_edges = checkpoint_count(edges)
     if driver_max_edges is not None and n_edges <= driver_max_edges:
         return _driver_union_find(nodes, edges)
+    # no dedup on the symmetrized table: every in-repo producer emits
+    # DISTINCT key_a < key_b pairs (emit-once band dedup / min-shared-
+    # cell box dedup), so the union cannot collide and a dropDuplicates
+    # here was one full edge-table exchange of pure waste before the
+    # groupBy. Duplicate edges from an outside caller stay CORRECT —
+    # every consumer below is a min-aggregation, so dupes only inflate
+    # intermediate rows, never change a label (pinned by
+    # tests/test_resolve.py duplicate-edge differential).
     sym = (
         edges.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
         .union(
             edges.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst"))
         )
-        .dropDuplicates(["src", "dst"])
         .localCheckpoint()
     )
     # seed labels with min(self, neighbors) — one aggregation that saves a

@@ -83,3 +83,31 @@ class TestConnectedComponents:
         # driver_max_edges=0 with nonzero edges must take the loop
         got = _spark_cc(spark, 4, [(0, 1), (2, 3)], driver_max_edges=0)
         assert got == {(0, 0), (1, 0), (2, 2), (3, 2)}
+
+    def test_duplicate_edges_change_nothing_either_path(self, spark):
+        """The symmetrized edge table is NOT deduped (in-repo producers
+        emit distinct a<b pairs, so the exchange was waste); an outside
+        caller passing duplicate or bidirectional edges must still get
+        identical components on both paths — every consumer of the edge
+        table is a min-aggregation."""
+        n, edges = self._random_graph(11)
+        noisy = edges + edges[::2] + [(b, a) for a, b in edges[1::2]]
+        want = _cc_reference(n, edges)
+        assert _spark_cc(spark, n, noisy) == want
+        assert _spark_cc(spark, n, noisy, driver_max_edges=None) == want
+
+    def test_distributed_path_has_no_edge_dedup_exchange(self, spark):
+        """Plan gate: no hash exchange on (src, dst) pair identity —
+        the only hash exchanges are the groupBy/join keys (key_id-
+        or src-partitioned, node-proportional)."""
+        import re
+
+        nodes = spark.range(100).select(F.col("id").alias("key_id"))
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(99)], "key_a bigint, key_b bigint"
+        )
+        out = connected_components(nodes, edges, driver_max_edges=None)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for keys in re.findall(r"Exchange hashpartitioning\(([^)]+)\)", plan):
+            cols = [c.strip().split("#")[0] for c in keys.split(",")[:-1]]
+            assert len(cols) == 1, keys  # never (src, dst) pair identity
