@@ -63,7 +63,14 @@ def build_kb_index(spark: SparkSession, kb_aliases: DataFrame) -> dict:
     {"postings": broadcastable TF-IDF postings, "idf": gram→idf,
      "aliases": alias dimension}. IDF fitted on the alias corpus:
     idf = ln((N+1)/(df+1)) + 1 (smoothed)."""
-    aliases = kb_aliases.withColumn("alias_id", F.xxhash64("alias", "kb_id"))
+    # dedup on alias_id (ADVICE r05): duplicate (alias, kb_id) input rows
+    # would survive the broadcast emit-once first-shared-band filter and
+    # multiply through the alias_sigs join, while the shuffled fallback
+    # dropDuplicates — collapsing here keeps the two paths identical on
+    # un-deduped KB input (a no-op for distinct-alias KBs)
+    aliases = kb_aliases.withColumn(
+        "alias_id", F.xxhash64("alias", "kb_id")
+    ).dropDuplicates(["alias_id"])
     n = aliases.count()
     tf = _gram_postings(aliases, "alias_id", "alias")
     df_counts = tf.groupBy("gram").agg(F.countDistinct("key").alias("df"))

@@ -37,6 +37,85 @@ def cosine_sim_expr(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _seq_dots(x: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(n, d) × (m, d) → (n, m) dot products accumulated IN DIMENSION
+    ORDER: sims[i,j] = fold over dim of (acc + x[i,dim]*q[j,dim]),
+    exactly the JVM ``aggregate(zip_with(...))`` fold. Bit-identical to
+    the Catalyst expression (IEEE ops applied in the same sequence), so
+    swapping the pair-explosion plan for this vectorized one cannot move
+    a single output value — unlike BLAS matmul, whose blocked/pairwise
+    summation order differs in the last ulp."""
+    n, m = len(x), len(q)
+    acc = np.zeros((n, m), dtype=np.float64)
+    for dim in range(x.shape[1]):
+        acc += x[:, dim, None] * q[None, :, dim]
+    return acc
+
+
+def _seq_sq_norms(x: np.ndarray) -> np.ndarray:
+    """sqrt(fold over dim of acc + x[i]²) — same bit-exact sequencing as
+    the JVM ``SQRT(aggregate(transform(v, x*x), ...))``."""
+    acc = np.zeros(len(x), dtype=np.float64)
+    for dim in range(x.shape[1]):
+        acc += x[:, dim] * x[:, dim]
+    return np.sqrt(acc)
+
+
+def _brute_topk_udf(q_ids: np.ndarray, q_mat: np.ndarray, k: int):
+    """Per-batch partial top-k: each Arrow batch of data vectors is
+    scored against ALL queries with the bit-exact sequential kernel and
+    only the batch's k best rows per query (sim DESC, vec_id ASC — NaN
+    first, matching Spark's descending NaN-is-largest ordering) are
+    emitted. The global window downstream re-ranks the ≤ batches·m·k
+    survivors; keeping k per batch per query is lossless for a global
+    top-k."""
+
+    q_norms = _seq_sq_norms(q_mat)
+
+    def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = len(q_ids)
+        if m and (q_norms == 0.0).any():
+            # ANSI parity: the expression plan raises DIVIDE_BY_ZERO on a
+            # zero-norm vector — don't silently emit NaN rows instead
+            raise ArithmeticError("[DIVIDE_BY_ZERO] zero-norm query vector")
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or m == 0:
+                continue
+            x = np.array(pdf["v"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            x_norms = _seq_sq_norms(x)
+            if (x_norms == 0.0).any():
+                raise ArithmeticError("[DIVIDE_BY_ZERO] zero-norm data vector")
+            sims = _seq_dots(x, q_mat) / np.outer(x_norms, q_norms)
+            out_q, out_v, out_s = [], [], []
+            for j in range(m):
+                col = sims[:, j]
+                # Spark sorts sim DESC with NaN as the LARGEST value;
+                # map NaN → -inf on the negated ascending key so NaN
+                # candidates stay ranked first (ties → vec_id ASC)
+                key = np.where(np.isnan(col), -np.inf, -col)
+                sel = np.lexsort((ids, key))
+                sel = sel[ids[sel] != q_ids[j]][:k]
+                out_q.append(np.full(len(sel), q_ids[j], dtype=np.int64))
+                out_v.append(ids[sel])
+                out_s.append(col[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    return topk
+
+
+# Past this many collected query rows the vectorized kernel would hold
+# an oversized sims matrix per batch; fall back to the expression plan.
+MAX_DRIVER_QUERIES = 65_536
+
+
 def cosine_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -47,8 +126,8 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors for the query subset (self excluded).
 
-    → (query_id, neighbor_id, rank, sim). The query side is broadcast
-    (small); ties broken by neighbor_id for determinism.
+    → (query_id, neighbor_id, rank, sim). Ties broken by neighbor_id
+    for determinism.
 
     This is the BRUTE-FORCE baseline — an all-pairs scan per query,
     deliberately kept as the correctness oracle for :func:`ivf_topk`. It
@@ -59,7 +138,20 @@ def cosine_topk(
     The guard costs no extra Spark job (VERDICT r03 wrong #2): when the
     caller doesn't supply ``n_rows``, the count rides on a LAZY
     localCheckpoint whose materialization is then REUSED by the
-    brute-force join itself — one job that both gates and caches.
+    brute-force scoring itself — one job that both gates and caches.
+
+    Execution (r06): the all-pairs scoring runs as a vectorized
+    ``mapInPandas`` partial top-k — the query block is collected
+    (bounded: the query subset of a ≤1M-row baseline) and every data
+    batch emits only its k best rows per query, so the JVM never
+    evaluates a per-pair higher-order-function cosine (4M interpreted
+    ``aggregate(zip_with(...))`` calls at 20k vectors × 200 queries —
+    was 50s of the sf1.0 bench) and the final window ranks thousands of
+    survivor rows instead of all pairs. The numpy kernel accumulates in
+    dimension order, bit-identical to the JVM fold (:func:`_seq_dots`),
+    pinned by tests/test_simsearch_bruteforce.py against the expression
+    plan. Queries larger than ``MAX_DRIVER_QUERIES`` keep the old
+    broadcast-cross expression plan.
     """
     e = embeddings.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
     if max_brute_rows is not None:
@@ -76,8 +168,25 @@ def cosine_topk(
     q = e.where(query_filter).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    j = F.broadcast(q).crossJoin(e).where(F.col("vec_id") != F.col("query_id"))
-    j = j.withColumn("sim", cosine_sim_expr(F.col("qv"), F.col("v")))
+    from anno_spark.plans.sizing import force_fallback
+
+    q_rows = q.limit(MAX_DRIVER_QUERIES + 1).collect()
+    if len(q_rows) > MAX_DRIVER_QUERIES or force_fallback():
+        j = F.broadcast(q).crossJoin(e).where(F.col("vec_id") != F.col("query_id"))
+        j = j.withColumn("sim", cosine_sim_expr(F.col("qv"), F.col("v")))
+    else:
+        q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+        q_mat = (
+            np.array([r["qv"] for r in q_rows], dtype=np.float64)
+            if q_rows
+            else np.zeros((0, 1), dtype=np.float64)
+        )
+        par = e.sparkSession.sparkContext.defaultParallelism
+        spread = par if n_rows is None else min(par, max(n_rows // 256, 1))
+        j = e.repartition(spread).mapInPandas(
+            _brute_topk_udf(q_ids, q_mat, k),
+            schema="query_id bigint, vec_id bigint, sim double",
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         j.withColumn("rank", F.row_number().over(w))
@@ -314,7 +423,9 @@ def ivf_topk(
     # query explodes nprobe× and carries a dim-wide double array
     dim = cents.shape[1]
     max_bq = max(MAX_BROADCAST_BYTES // (nprobe * (dim * 8 + 48)), 1)
-    q_small = q_base.limit(max_bq + 1).count() <= max_bq
+    from anno_spark.plans.sizing import force_fallback
+
+    q_small = q_base.limit(max_bq + 1).count() <= max_bq and not force_fallback()
     queries = (
         q_base
         .mapInPandas(_assign_udf(cents, nprobe=nprobe), schema=schema)

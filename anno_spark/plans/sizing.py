@@ -91,6 +91,19 @@ def first_shared_band16(hash_a, hash_b, n_bands: int):
     return chain
 
 
+def force_fallback() -> bool:
+    """True when ``SPARK_GRAFT_FORCE_FALLBACK`` is set: every
+    broadcast/small-path size gate must answer "too big", so the
+    web-scale shuffled plans run even on tiny data. Exists for the
+    forced-fallback correctness sweep
+    (``scripts/check_correctness.py --force-fallback`` — VERDICT r05
+    next #3: all 50 driver rows executed on the plans a 100 TB corpus
+    would take)."""
+    import os
+
+    return bool(os.environ.get("SPARK_GRAFT_FORCE_FALLBACK"))
+
+
 def fits_broadcast(
     n_rows: int, est_bytes_per_row: int, max_bytes: int = MAX_BROADCAST_BYTES
 ) -> bool:
@@ -98,4 +111,6 @@ def fits_broadcast(
     the broadcast budget. The estimate should cover EVERYTHING the small
     path broadcasts per input row (exploded band rows AND re-attached
     signature/attribute payloads)."""
+    if force_fallback():
+        return False
     return n_rows * est_bytes_per_row <= max_bytes

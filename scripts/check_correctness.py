@@ -78,10 +78,21 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    ap.add_argument(
+        "--force-fallback",
+        action="store_true",
+        help="answer 'too big' at every broadcast/small-path size gate "
+        "(minhash/simhash/CDCR/linking/Hamming blockers, driver-CC, "
+        "brute-ANN query collect) so all queries execute the web-scale "
+        "shuffled plans — the plans a 100 TB corpus would take "
+        "(VERDICT r05 next #3)",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
     os.environ["SPARK_GRAFT_ORACLE_SF"] = args.sf
+    if args.force_fallback:
+        os.environ["SPARK_GRAFT_FORCE_FALLBACK"] = "1"
 
     import duckdb
 

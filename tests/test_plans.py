@@ -47,10 +47,16 @@ class TestJoinStrategies:
         plan = _plan(entry_mod.q_rel_broadcast_region_sales(spark, sf_dir))
         assert "BroadcastHashJoin" in plan
 
-    def test_ann_topk_broadcasts_query_side(self, spark, sf_dir):
+    def test_ann_topk_scores_in_vectorized_partial_topk(self, spark, sf_dir):
+        # r06: the brute scoring is a mapInPandas partial top-k — no
+        # per-pair join node of any kind is left in the plan (the old
+        # BroadcastNestedLoopJoin evaluated an interpreted HOF cosine on
+        # every query×data pair), and the window ranks only survivors
         plan = _plan(entry_mod.q_ann_cosine_topk(spark, sf_dir))
-        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-        assert "CartesianProduct" not in plan
+        assert "MapInPandas" in plan
+        for node in ("CartesianProduct", "BroadcastNestedLoopJoin", "Join"):
+            assert node not in plan, node
+        assert "Window" in plan
 
     def test_anti_join_planned_as_join_not_subquery_loop(self, spark, sf_dir):
         plan = _plan(entry_mod.q_rel_anti_join(spark, sf_dir))
