@@ -28,6 +28,11 @@ from ..grounded import from_dict
 from ..output import color
 from ..utils import collect_text_files
 
+# Single-process ceiling: past this, the right tool is the distributed
+# pipeline, not a bigger driver heap (see the guard in run()).
+CROSSDOC_MAX_FILES = 10_000
+CROSSDOC_MAX_BYTES = 1 << 30
+
 
 def run(args):
     verbose = args.verbose
@@ -256,6 +261,22 @@ def _extract_directory(args):
     if args.verbose:
         print(f"Found {len(files)} files", file=sys.stderr)
         print("Extracting entities...", file=sys.stderr)
+
+    # Driver-residency guard (VERDICT r05 next #6): this command reads
+    # every file onto the driver and (with --spark) collects every
+    # mention back — faithful to the reference CLI's single-process UX,
+    # but an unbounded directory would OOM the driver instead of failing
+    # with a pointer at the distributed entry point.
+    total_bytes = sum(os.path.getsize(p) for p in files)
+    if len(files) > CROSSDOC_MAX_FILES or total_bytes > CROSSDOC_MAX_BYTES:
+        raise CliError(
+            f"crossdoc is a single-process tool capped at "
+            f"{CROSSDOC_MAX_FILES} files / {CROSSDOC_MAX_BYTES >> 20} MiB "
+            f"(got {len(files)} files / {total_bytes >> 20} MiB). For "
+            f"corpus-scale cross-document resolution run the distributed "
+            f"pipeline: scripts/run_pipeline.py (or "
+            f"anno_spark.operators.resolve.resolve_mentions)."
+        )
 
     named: list[tuple[str, str]] = []
     for idx, path in enumerate(files):

@@ -21,7 +21,12 @@ from __future__ import annotations
 
 import os
 
-RAW_CORPUS_ROOT = "/root/reference/hack/real_data"
+# Overridable (VERDICT r05 next #7): the default points at the reference
+# checkout's raw-sample directory when present; deployments set
+# ANNO_SPARK_RAW_CORPUS_ROOT. Tests that need it skip when absent.
+RAW_CORPUS_ROOT = os.environ.get(
+    "ANNO_SPARK_RAW_CORPUS_ROOT", "/root/reference/hack/real_data"
+)
 
 
 def spark_dataset_provider(spark, paths: dict, cache: bool = True):

@@ -239,6 +239,19 @@ def news_dir(tmp_path):
 
 
 class TestCrossdoc:
+    def test_over_cap_points_at_distributed_pipeline(
+        self, capsys, news_dir, monkeypatch
+    ):
+        # VERDICT r05 next #6: the single-process driver collect is now
+        # capped; over the cap the error names the distributed entry point
+        from anno_spark.cli.commands import crossdoc as cd
+
+        monkeypatch.setattr(cd, "CROSSDOC_MAX_FILES", 2)
+        rc, _, err = run_cli(capsys, "crossdoc", str(news_dir), "--format", "json")
+        assert rc != 0
+        assert "single-process tool capped" in err
+        assert "run_pipeline" in err
+
     def test_json_metadata_envelope(self, capsys, news_dir):
         # crossdoc_cli_output.rs — metadata + clusters keys
         rc, out, _ = run_cli(capsys, "crossdoc", str(news_dir), "--format", "json")

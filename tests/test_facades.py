@@ -450,8 +450,17 @@ class TestRealCorpus:
     distributed extraction + cross-document coalescing path."""
 
     def test_raw_corpus_extraction_and_cdcr(self, spark):
+        import os
+
+        import pytest
+
         from anno_spark.eval.cdcr_data import CDCRConfig, CDCRResolver, Document, Entity
-        from anno_spark.eval.dataset_provider import raw_corpus_texts
+        from anno_spark.eval.dataset_provider import RAW_CORPUS_ROOT, raw_corpus_texts
+
+        if not os.path.isdir(RAW_CORPUS_ROOT):
+            pytest.skip(
+                "raw sample corpus absent — set ANNO_SPARK_RAW_CORPUS_ROOT"
+            )
         from anno_spark.operators.extract import extract_documents, mentions_table
 
         texts = raw_corpus_texts("combined")
