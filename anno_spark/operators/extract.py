@@ -104,6 +104,17 @@ def detect_lang_udf():
 # full per-document extraction (N1–N4 + R1 + C1–C3)
 
 
+# Output chunk size for the extraction UDF: one task's input arrives as
+# a single Arrow batch (1-2k rows at bench scale), so yielding one output
+# frame per input batch serializes the task — Python computes everything,
+# THEN the JVM parses everything. Yielding every _EXTRACT_CHUNK rows lets
+# the JVM parse chunk k (nested array<struct> decode, the expensive side)
+# while Python extracts chunk k+1 — measured ~10% off the extraction
+# stage at sf1.0 without touching the session-wide Arrow batch size
+# (which the 12M-row pair scorers need LARGE).
+_EXTRACT_CHUNK = 512
+
+
 def _extract_batches(
     batches: Iterator[pd.DataFrame], clean: bool = False, normalize: bool = False
 ) -> Iterator[pd.DataFrame]:
@@ -112,6 +123,15 @@ def _extract_batches(
     from anno_spark.core.events import extract_events_with_entities
     from anno_spark.core.textops import prepare
 
+    cols = [
+        "url",
+        "mentions",
+        "triples",
+        "tracks",
+        "events",
+        "pronoun_count",
+        "truncated",
+    ]
     for pdf in batches:
         rows = []
         for url, text in zip(pdf["url"], pdf["text"]):
@@ -188,18 +208,11 @@ def _extract_batches(
                     "truncated": ext.truncated,
                 }
             )
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "url",
-                "mentions",
-                "triples",
-                "tracks",
-                "events",
-                "pronoun_count",
-                "truncated",
-            ],
-        )
+            if len(rows) >= _EXTRACT_CHUNK:
+                yield pd.DataFrame(rows, columns=cols)
+                rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
 
 
 def extract_documents(

@@ -151,6 +151,7 @@ def candidate_pairs(
     broadcast_max_keys: int = 1_000_000,
     _pre_dedup: bool = False,
     band_sigs: DataFrame | None = None,
+    _n_band_rows: int | None = None,
 ) -> DataFrame:
     """Self-join on (band, band_hash) → distinct key pairs (a < b), with
     surfaces/types re-attached AFTER dedup (the pre-dedup blowup carries
@@ -192,7 +193,12 @@ def candidate_pairs(
     # the separate keys.limit().count() job — VERDICT r02 wrong #4).
     # band_table emits exactly CDCR_NUM_BANDS rows per key, so the key
     # count is derived, and the gate is byte-based (ADVICE r02).
-    bands, n_band_rows = checkpoint_count(bands)
+    # ``_n_band_rows`` lets resolve_mentions pass an already-counted,
+    # already-checkpointed band table without a second count job.
+    if _n_band_rows is not None:
+        n_band_rows = _n_band_rows
+    else:
+        bands, n_band_rows = checkpoint_count(bands)
     n_keys = n_band_rows // CDCR_NUM_BANDS
     small = n_keys <= broadcast_max_keys and fits_broadcast(
         n_keys, CDCR_BYTES_PER_KEY_EST
@@ -686,6 +692,103 @@ def top_clusters(
 # --------------------------------------------------------------------------
 # end-to-end convenience
 
+# Key-count gate for the all-driver resolve fast path below: band/pair/
+# score/CC work on a few thousand distinct surfaces costs milliseconds
+# in-process but ~7 Spark jobs of fixed scheduler+broadcast latency
+# distributed (measured 1.6 s of the sf1.0 bench on a 2.5k-key,
+# 1.3k-edge graph). 20k keys ≈ tens of ms of driver scoring on typical
+# bucket shapes; past the gate (true web scale) the distributed path
+# runs unchanged.
+DRIVER_RESOLVE_MAX_KEYS = 20_000
+
+
+def _driver_resolve_components(
+    keys: DataFrame,
+    band_sigs: DataFrame,
+    max_bucket_size: int | None,
+    min_similarity: float,
+    require_type_match: bool,
+) -> DataFrame:
+    """Small-graph fast path for the whole candidate→score→CC chain:
+    collect the (already materialized) key surfaces and band-hash
+    vectors, generate bucket pairs, score with the pure-Python
+    string_similarity (the reference implementation the JVM expression
+    is differentially pinned against — tests/test_resolve_spark.py), and
+    union-find in-process. Returns the same (key_id, component_id)
+    labeling as candidate_pairs → score_pairs → connected_components:
+    component_id = min key_id reachable. Bucket-cap semantics replicated
+    exactly (buckets with > cap members dropped for candidate
+    generation). The scoring decision is inlined on the STORED surfaces
+    (no re-lowercasing — the distributed expression scores them as
+    stored too): exact → 1.0, containment → 0.8, else word-set Jaccard,
+    with ``split()`` ≡ the JVM ``_word_set`` (differentially pinned)."""
+    spark = keys.sparkSession
+    krows = keys.select("key_id", "surface", "entity_type").collect()
+    brows = band_sigs.collect()
+    bh_by_key = {r["key_id"]: r["band_hashes"] for r in brows}
+    buckets: dict[tuple[int, int], list] = {}
+    for r in krows:
+        for band, h in enumerate(bh_by_key[r["key_id"]]):
+            buckets.setdefault((band, h), []).append(r)
+    words = {r["key_id"]: frozenset(r["surface"].split()) for r in krows}
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    seen: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        if max_bucket_size is not None and len(members) > max_bucket_size:
+            continue
+        for i in range(len(members)):
+            a = members[i]
+            for j in range(i + 1, len(members)):
+                b = members[j]
+                ka, kb = a["key_id"], b["key_id"]
+                if ka > kb:
+                    ka, kb = kb, ka
+                if (ka, kb) in seen:
+                    continue
+                seen.add((ka, kb))
+                if require_type_match and a["entity_type"] != b["entity_type"]:
+                    continue
+                sa, sb = a["surface"], b["surface"]
+                if sa == sb:
+                    sim = 1.0
+                elif not sa or not sb:
+                    sim = 0.0
+                elif sb in sa or sa in sb:
+                    sim = 0.8
+                else:
+                    wa, wb = words[a["key_id"]], words[b["key_id"]]
+                    union = len(wa | wb)
+                    sim = len(wa & wb) / union if union else 0.0
+                if sim < min_similarity:
+                    continue
+                ra, rb = find(ka), find(kb)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+    comp_rows = [(int(k), int(find(k))) for k in sorted(parent)]
+    if not comp_rows:
+        return keys.select(
+            "key_id", F.col("key_id").alias("component_id")
+        )
+    comp = spark.createDataFrame(
+        comp_rows, schema="key_id bigint, component_id bigint"
+    )
+    return keys.select("key_id").join(F.broadcast(comp), "key_id", "left").select(
+        "key_id",
+        F.coalesce("component_id", F.col("key_id")).alias("component_id"),
+    )
+
 
 def resolve_mentions(
     mentions: DataFrame,
@@ -708,6 +811,8 @@ def resolve_mentions(
     scheduler floor is pure waste; VERDICT r03 next #4). On a real
     cluster these become snapshot tables (SnapshotStore).
     """
+    from anno_spark.plans.sizing import force_fallback
+
     keys = surface_keys(mentions).localCheckpoint(eager=False)
     # unexploded band vectors, cached: explode feeds the self-join, the
     # array form feeds the small path's map-side emit-once pair dedup
@@ -715,11 +820,27 @@ def resolve_mentions(
     bands = band_sigs.select(
         "key_id", F.posexplode("band_hashes").alias("band", "band_hash")
     )
-    pairs = candidate_pairs(
-        bands, keys, max_bucket_size=max_bucket_size, band_sigs=band_sigs
-    )
-    edges = score_pairs(pairs, min_similarity, require_type_match)
-    comps = connected_components(keys, edges).localCheckpoint(eager=False)
+    # one job materializes keys+band_sigs+bands and yields the key count
+    # for BOTH the driver-resolve gate and candidate_pairs' broadcast gate
+    bands, n_band_rows = checkpoint_count(bands)
+    n_keys = n_band_rows // CDCR_NUM_BANDS
+    if n_keys <= DRIVER_RESOLVE_MAX_KEYS and not force_fallback():
+        # all-driver fast path: pair-gen + scoring + CC in-process (see
+        # _driver_resolve_components) — ~7 Spark jobs of broadcast/
+        # shuffle fixed latency collapse into two cache-read collects
+        comps = _driver_resolve_components(
+            keys, band_sigs, max_bucket_size, min_similarity, require_type_match
+        ).localCheckpoint(eager=False)
+    else:
+        pairs = candidate_pairs(
+            bands,
+            keys,
+            max_bucket_size=max_bucket_size,
+            band_sigs=band_sigs,
+            _n_band_rows=n_band_rows,
+        )
+        edges = score_pairs(pairs, min_similarity, require_type_match)
+        comps = connected_components(keys, edges).localCheckpoint(eager=False)
     idents = identities_table(keys, comps)
     keyed = keys.join(comps, "key_id").select(
         "surface", "entity_type", F.col("component_id").alias("identity_id")

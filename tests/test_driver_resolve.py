@@ -1,0 +1,58 @@
+"""Differential for the r06 all-driver resolve fast path: on a corpus
+under the DRIVER_RESOLVE_MAX_KEYS gate, resolve_mentions must produce
+byte-identical (key, component) labelings and identities whether the
+candidate→score→CC chain runs on the driver or distributed (gate forced
+off), with and without a bucket cap."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mentions(spark):
+    # near-identical distinct surfaces (shared 3-gram mass → hot common
+    # LSH buckets), two hot families plus containment/jaccard pairs and
+    # cross-type collisions
+    rows = [(f"https://ex.com/p{i}", f"acme corporation unit {i}", "ORG") for i in range(120)]
+    rows += [(f"https://ex.com/q{i}", f"initech holdings division {i}", "ORG") for i in range(40)]
+    rows += [
+        ("https://ex.com/a", "Acme Corp", "ORG"),
+        ("https://ex.com/b", "Acme Corporation", "ORG"),
+        ("https://ex.com/c", "acme corporation unit 5", "LOC"),  # type clash
+        ("https://ex.com/d", "globex", "ORG"),
+        ("https://ex.com/e", "globex corporation", "ORG"),
+    ]
+    return spark.createDataFrame(rows, "url string, text string, entity_type string")
+
+
+@pytest.mark.parametrize("cap", [None, 16])
+def test_driver_resolve_matches_distributed(spark, monkeypatch, cap):
+    from anno_spark.operators import resolve as rx
+
+    m = _mentions(spark)
+    keyed_fast, idents_fast, _ = rx.resolve_mentions(m, max_bucket_size=cap)
+    fast = {
+        (r["surface"], r["entity_type"], r["component_id"])
+        for r in keyed_fast.collect()
+    }
+    fast_idents = {
+        (r["identity_id"], r["canonical_name"], r["n_surfaces"])
+        for r in idents_fast.collect()
+    }
+
+    monkeypatch.setattr(rx, "DRIVER_RESOLVE_MAX_KEYS", -1)
+    keyed_slow, idents_slow, _ = rx.resolve_mentions(m, max_bucket_size=cap)
+    slow = {
+        (r["surface"], r["entity_type"], r["component_id"])
+        for r in keyed_slow.collect()
+    }
+    slow_idents = {
+        (r["identity_id"], r["canonical_name"], r["n_surfaces"])
+        for r in idents_slow.collect()
+    }
+
+    assert fast == slow
+    assert fast_idents == slow_idents
+    # sanity: the corpus actually clusters (not all singletons)
+    assert len({c for (_, _, c) in fast}) < len(fast)
