@@ -105,35 +105,55 @@ def doc_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _pair_score_udf(bc, sig_len: int, threshold: float):
-    """Vectorized emit-once + est-Jaccard scorer for the small path
-    (r06): one numpy pass per Arrow batch of compact
-    ``(band, doc_a, doc_b)`` raw join rows, replacing the interpreted
-    JVM higher-order functions (``zip_with``/``array_position`` per raw
-    row — measured 186 executor-CPU-seconds over the ~12M-row raw pair
-    stream at sf1.0, 6.6 s of the dedup_minhash query wall).
+def _pair_gen_score_udf(bc, sig_len: int, threshold: float):
+    """Fused pair GENERATION + emit-once + est-Jaccard scoring for the
+    small path (r06b): input is the compact surviving ``(doc_id, band)``
+    table (~n_docs·bands rows), and each row expands to its bucket pairs
+    ``(doc_a, doc_b): doc_b > doc_a in the same bucket`` inside numpy —
+    the JVM band self-join and its ~12M-row Arrow export disappear
+    (were 39 executor-CPU-s and the single biggest remaining chunk of
+    the query). The generated multiset equals the join's raw stream
+    (one row per shared surviving band, a < b), and the emit-once +
+    threshold logic is identical to the superseded per-raw-row scorer
+    (bit-exact: integer compares and a divide by a power of two), so
+    the output set is unchanged.
 
-    Bit-identical to the expression plan: band equality and signature
-    agreement are exact int64 compares, and ``est = agree / sig_len``
-    divides by a power of two, so the double is exactly the JVM value.
-    ``bc`` broadcasts ``(sorted_ids, sig_matrix, band_matrix, valid)``
-    where ``valid[i, b]`` is False iff doc i's band b bucket was dropped
-    (the NULL masking of the expression plan — NULL never equals NULL,
-    so dropped bands can't be a pair's first shared band)."""
+    ``bc`` carries, per doc (index-aligned with ``sorted_ids``):
+    signature/band-hash matrices, the valid mask, and the driver-built
+    bucket index — ``flat`` (bucket-member doc indices, ascending,
+    concatenated), ``boff``/``blen`` (per-bucket slices into flat),
+    ``bucket_of``/``rank_of`` (each doc's bucket ordinal and position
+    per band; -1 for dropped buckets)."""
     import numpy as np
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, sig, bh, valid = bc.value
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, sig, bh, valid, flat, boff, blen, bucket_of, rank_of = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
+            ii = np.searchsorted(ids, pdf["doc_id"].to_numpy())
             band = pdf["band"].to_numpy()
-            ia = np.searchsorted(ids, pdf["doc_a"].to_numpy())
-            ib = np.searchsorted(ids, pdf["doc_b"].to_numpy())
+            ord_ = bucket_of[ii, band]
+            ok = ord_ >= 0
+            ii, band, ord_ = ii[ok], band[ok], ord_[ok]
+            start = boff[ord_] + rank_of[ii, band] + 1
+            end = boff[ord_] + blen[ord_]
+            counts = end - start
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            cum = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=cum[1:])
+            k = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(cum[:-1], counts)
+                + np.repeat(start, counts)
+            )
+            ia = np.repeat(ii, counts)
+            ib = flat[k]
+            bandr = np.repeat(band, counts)
             eq = (bh[ia] == bh[ib]) & valid[ia] & valid[ib]
-            # first shared surviving band == this row's band (emit-once);
-            # every raw row shares >= 1 surviving band by construction
-            keep = eq.argmax(axis=1) == band
+            keep = eq.argmax(axis=1) == bandr
             ia, ib = ia[keep], ib[keep]
             agree = (sig[ia] == sig[ib]).sum(axis=1)
             est = agree / float(sig_len)
@@ -146,7 +166,49 @@ def _pair_score_udf(bc, sig_len: int, threshold: float):
                 }
             )
 
-    return score
+    return gen
+
+
+def _build_bucket_index(bh, valid):
+    """Driver-side bucket index over the band-hash matrix: for each band,
+    group the VALID doc indices by hash value. Members are ascending by
+    doc index (stable sort), so ``rank_of`` + 1 slices each doc's
+    strictly-greater bucket partners directly."""
+    import numpy as np
+
+    n, n_bands = bh.shape
+    flats, boffs, blens = [], [], []
+    bucket_of = np.full((n, n_bands), -1, dtype=np.int64)
+    rank_of = np.zeros((n, n_bands), dtype=np.int64)
+    off = 0
+    n_buckets = 0
+    for b in range(n_bands):
+        vi = np.flatnonzero(valid[:, b])
+        order = vi[np.argsort(bh[vi, b], kind="stable")]
+        if not len(order):
+            continue
+        hashes = bh[order, b]
+        is_start = np.concatenate(([True], hashes[1:] != hashes[:-1]))
+        run_id = np.cumsum(is_start) - 1
+        run_start = np.flatnonzero(is_start)
+        flats.append(order)
+        boffs.append(off + run_start)
+        blens.append(
+            np.diff(np.concatenate((run_start, [len(order)])))
+        )
+        bucket_of[order, b] = n_buckets + run_id
+        rank_of[order, b] = np.arange(len(order)) - run_start[run_id]
+        n_buckets += len(run_start)
+        off += len(order)
+    if flats:
+        flat = np.concatenate(flats).astype(np.int64)
+        boff = np.concatenate(boffs).astype(np.int64)
+        blen = np.concatenate(blens).astype(np.int64)
+    else:
+        flat = np.zeros(0, dtype=np.int64)
+        boff = np.zeros(0, dtype=np.int64)
+        blen = np.zeros(0, dtype=np.int64)
+    return flat, boff, blen, bucket_of, rank_of
 
 
 def _collect_sig_matrices(
@@ -234,6 +296,27 @@ def minhash_candidate_pairs(
                 ["band", "band_hash"],
             ).drop("n")
     par = sigs.sparkSession.sparkContext.defaultParallelism
+    if small and min_est_jaccard is not None:
+        # Fused pair-generation + emit-once + threshold, all in one
+        # vectorized python stage (r06): the band self-join and its
+        # pairs-proportional Arrow export are gone — each surviving
+        # (doc_id, band) row expands to its bucket partners inside the
+        # kernel, against matrices broadcast once (bounded by the same
+        # fits_broadcast gate that admitted this path). Output set
+        # identical to the join + dropDuplicates plan (differential:
+        # tests/test_plans.py minhash emit-once; brute-force:
+        # tests/test_emit_once_differentials.py).
+        sc = sigs.sparkSession.sparkContext
+        mats = _collect_sig_matrices(sigs, n_bands, dropped_buckets)
+        bidx = _build_bucket_index(mats[2], mats[3])
+        bc = sc.broadcast((*mats, *bidx))
+        src = bands.select("doc_id", "band").repartition(
+            probe_spread(par, n_docs * n_bands)
+        )
+        return src.mapInPandas(
+            _pair_gen_score_udf(bc, sig_len, min_est_jaccard),
+            schema="doc_a bigint, doc_b bigint, est_jaccard double",
+        )
     left = bands.select("band", "band_hash", F.col("doc_id").alias("doc_a"))
     if small:
         left = left.repartition(probe_spread(par, n_docs * n_bands))
@@ -251,31 +334,6 @@ def minhash_candidate_pairs(
         )
     )
     est = (agree.cast("double") / F.size("sig_a").cast("double")).alias("est_jaccard")
-    if small and min_est_jaccard is not None:
-        # Emit-once + filter, all MAP-SIDE — zero pairs-proportional
-        # shuffle. The pre-dedup explosion (a pair once per shared band —
-        # near-dup cliques share ALL bands, so ~bands× the distinct-pair
-        # count) is scored against both signature sides, the threshold
-        # prunes it, and the band-level duplicates are removed by keeping
-        # ONLY the row whose band is the pair's FIRST shared surviving
-        # band. Identical output set to a dropDuplicates on
-        # (doc_a, doc_b) — r04 shipped filter-before-dedup, which still
-        # shuffled ~2.4× the distinct-pair count through the dedup
-        # exchange on a near-dup-heavy corpus; emit-once (r05) removed
-        # that last pairs-proportional shuffle from the small path.
-        # r06: the per-raw-row work moved from interpreted JVM HOFs
-        # (zip_with/array_position — no whole-stage codegen for
-        # higher-order functions) into one vectorized numpy kernel fed
-        # by the COMPACT (band, doc_a, doc_b) stream, with the signature
-        # and masked band-hash matrices broadcast once (bounded by the
-        # same fits_broadcast gate that admitted this path). Bit-exact:
-        # integer compares + a divide by a power of two.
-        sc = sigs.sparkSession.sparkContext
-        bc = sc.broadcast(_collect_sig_matrices(sigs, n_bands, dropped_buckets))
-        return raw.select("band", "doc_a", "doc_b").mapInPandas(
-            _pair_score_udf(bc, sig_len, min_est_jaccard),
-            schema="doc_a bigint, doc_b bigint, est_jaccard double",
-        )
     # web-scale path: dedup the compact (id, id) pairs first, then attach
     # signatures to the distinct pairs only
     pairs = (

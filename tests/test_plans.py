@@ -162,8 +162,11 @@ class TestSkewProofBandJoins:
             doc_signatures_with_id(docs), min_est_jaccard=0.8
         )
         plan = _plan(pairs)
-        assert "BroadcastHashJoin" in plan
-        assert "SortMergeJoin" not in plan
+        # r06: the small path generates bucket pairs inside the fused
+        # python kernel — no band self-join remains in the plan at all,
+        # and in particular no shuffled join a hot bucket could serialize
+        assert "MapInPandas" in plan
+        assert "SortMergeJoin" not in plan and "Join" not in plan
         # probe side spread before the explosion
         assert "RoundRobinPartitioning" in plan or "Exchange RoundRobin" in plan
 
