@@ -356,6 +356,13 @@ def doc_signatures_with_id(docs: DataFrame, text_col: str = "text") -> DataFrame
     )
 
 
+# Doc-count gate for the driver cluster assembly in
+# minhash_near_duplicates: the collect is 16 B per doc (doc_id, sig_id),
+# so 1M docs ≈ 16 MB — comparable to a broadcast side. Past it the
+# distributed fan-out runs.
+DRIVER_CLUSTER_MAX_DOCS = 1_000_000
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -376,11 +383,15 @@ def minhash_near_duplicates(
     ``sigs`` (doc_id, signature, band_hashes, sig_id) may be passed in
     precomputed (the driver queries materialize it for the oracle).
     """
+    from anno_spark.plans.sizing import force_fallback
+
+    from .resolve import DRIVER_CC_MAX_EDGES, uf_labels
+
     if sigs is None:
         sigs = doc_signatures_with_id(docs, text_col)
-    # lazy: the representative groupBy materializes it; the doc→sig_id
-    # fan-out join later reads the cache (one fewer dedicated job)
-    sigs = sigs.localCheckpoint(eager=False)
+    # one job materializes the signature cache and yields the doc count
+    # for the driver cluster-assembly gate below
+    sigs, n_docs = checkpoint_count(sigs)
     reps = (
         sigs.groupBy("sig_id")
         .agg(
@@ -393,6 +404,61 @@ def minhash_near_duplicates(
     pairs = minhash_candidate_pairs(
         reps.drop("sig_id"), min_est_jaccard=threshold
     )
+    if n_docs <= DRIVER_CLUSTER_MAX_DOCS and not force_fallback():
+        edges_ck, n_edges = checkpoint_count(pairs.select("doc_a", "doc_b"))
+        if n_edges <= DRIVER_CC_MAX_EDGES:
+            # Driver cluster assembly (r06): everything past the scored
+            # pair table is small by the gates that admitted this path
+            # (edges ≤ the driver-CC cap the distributed path would
+            # collect anyway; doc→sig rows ≤ 16 B each) — the CC
+            # broadcast join, the two fan-out joins and the
+            # cluster-size groupBy (~6 jobs + a planning gap at bench
+            # scale) collapse into two cache-read collects and one
+            # createDataFrame. Identical output: component = min rep
+            # doc reachable, docs fan out via sig_id, clusters are
+            # doc-count > 1 (sig groups with >1 doc cluster even when
+            # their representative has no edge).
+            import numpy as np
+
+            e = edges_ck.toPandas()
+            uniq, labels = uf_labels(
+                e["doc_a"].to_numpy(), e["doc_b"].to_numpy()
+            )
+            ds = sigs.select("doc_id", "sig_id").toPandas()
+            did = ds["doc_id"].to_numpy(np.int64)
+            sid = ds["sig_id"].to_numpy(np.int64)
+            order = np.lexsort((did, sid))
+            sid_s, did_s = sid[order], did[order]
+            first = np.ones(len(sid_s), dtype=bool)
+            if len(sid_s):
+                first[1:] = sid_s[1:] != sid_s[:-1]
+            grp = np.cumsum(first) - 1
+            rep_per_grp = did_s[first]  # (sig, doc)-sorted: first = min doc
+            if len(uniq):
+                pos = np.minimum(
+                    np.searchsorted(uniq, rep_per_grp), len(uniq) - 1
+                )
+                in_graph = uniq[pos] == rep_per_grp
+                comp_per_grp = np.where(in_graph, labels[pos], rep_per_grp)
+            else:
+                comp_per_grp = rep_per_grp
+            cluster = comp_per_grp[grp] if len(grp) else comp_per_grp
+            _, inv, cnt = np.unique(
+                cluster, return_inverse=True, return_counts=True
+            )
+            keep = cnt[inv] > 1
+            spark = sigs.sparkSession
+            if not keep.any():
+                return spark.createDataFrame(
+                    [], schema="cluster_id bigint, doc_id bigint"
+                )
+            out = pd.DataFrame(
+                {"cluster_id": cluster[keep], "doc_id": did_s[keep]}
+            )
+            return spark.createDataFrame(
+                out, schema="cluster_id bigint, doc_id bigint"
+            )
+        pairs = edges_ck
     rep_edges = pairs.select(F.col("doc_a").alias("key_a"), F.col("doc_b").alias("key_b"))
     rep_nodes = reps.select(F.col("doc_id").alias("key_id"))
     comps = connected_components(rep_nodes, rep_edges)

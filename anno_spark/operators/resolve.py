@@ -416,52 +416,34 @@ def score_pairs(
 # 5. iterative connected components (union-find as a DataFrame loop)
 
 
-def _driver_union_find(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """Small-graph fast path: union-find with path compression on the
-    driver over the (already materialized) edge list, then ONE broadcast
-    join back onto the still-distributed node table. Only edges are
-    collected — nodes can be arbitrarily large (singletons keep their own
-    id via coalesce). Produces byte-identical output to the distributed
-    loop: component_id = min key_id reachable.
+def uf_labels(key_a, key_b):
+    """Vectorized connected components over an edge list of raw 64-bit
+    ids → ``(uniq_sorted_ids, component_label_per_id)`` with
+    component label = min id reachable (the labeling every CC consumer
+    in this engine uses).
 
-    PRECONDITION (shared with :func:`connected_components`): every edge
-    endpoint must appear in ``nodes``. With an edge-only id the two paths
-    diverge — this path merges components THROUGH (and can label with)
-    the absent id, while the distributed loop never propagates through
-    unlabeled endpoints (ADVICE r02). Every in-repo caller derives edges
-    from the node table (candidate pairs ⊆ keys; dedup pairs ⊆ sig
-    table), so the contract is documented rather than paid for with two
-    extra semi-joins per invocation on a 10⁸-row edge table."""
+    Hook + pointer-jump with per-round EDGE CONTRACTION (r06): running
+    ``np.minimum.at`` over the full edge list every round — unbuffered
+    scatter at ~10M ops/s — cost 1-2 s of driver wall on the 1.36M-edge
+    sf1.0 graph. Contracting each round's edges to distinct
+    (parent_hi, parent_lo) label pairs collapses the near-dup cliques
+    after one pass (round-2 edge count ≈ the component count), and the
+    sorted-unique form gives each hi's min lo for free, so the
+    scatter-min disappears entirely. Labels still converge to the
+    component minimum (hooks only decrease toward the min, the min's
+    own label is never touched, and termination = no cross-label edges
+    remain). ``uniq`` is sorted, so the minimum dense index in a
+    component is exactly the minimum id."""
     import numpy as np
-    import pandas as pd
 
-    pdf = edges.select("key_a", "key_b").toPandas()
-    # Vectorized union-find (r06): the per-edge Python loop with dict
-    # find() took ~11 s of DRIVER-SIDE wall (no Spark job running) on a
-    # 1.35M-edge graph at sf1.0 — over half the dedup_minhash query.
-    # Shiloach-Vishkin-style hook + pointer jumping over numpy arrays
-    # converges in O(log n) vectorized rounds (<0.2 s on the same graph)
-    # and produces the identical labeling: uniq is SORTED, so the
-    # minimum dense index in a component is exactly the minimum key_id.
     both = np.concatenate(
-        [pdf["key_a"].to_numpy(np.int64), pdf["key_b"].to_numpy(np.int64)]
+        [np.asarray(key_a, dtype=np.int64), np.asarray(key_b, dtype=np.int64)]
     )
     uniq, inv = np.unique(both, return_inverse=True)
-    n_edges = len(pdf)
+    n_edges = len(both) // 2
     n = len(uniq)
     ea, eb = inv[:n_edges], inv[n_edges:]
     parent = np.arange(n)
-    # Hook + pointer-jump with per-round EDGE CONTRACTION (r06): the
-    # first implementation ran np.minimum.at over the FULL edge list
-    # every round — unbuffered scatter at ~10M ops/s made the 1.36M-edge
-    # sf1.0 graph cost 1-2 s of driver wall. Contracting each round's
-    # edges to distinct (parent_hi, parent_lo) label pairs collapses the
-    # near-dup cliques after one pass (round-2 edge count is ~the
-    # component count), and the sorted-unique form gives each hi's min
-    # lo for free, so the scatter-min disappears entirely. Labels still
-    # converge to the component minimum (hooks only decrease toward the
-    # min, the min's own label is never touched, and termination =
-    # no cross-label edges remain), so the output is unchanged.
     while True:
         pa, pb = parent[ea], parent[eb]
         alive = pa != pb
@@ -484,9 +466,32 @@ def _driver_union_find(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                 break
             parent = jumped
         ea, eb = hi, lo  # contracted label graph feeds the next round
+    return uniq, uniq[parent]
+
+
+def _driver_union_find(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: union-find with path compression on the
+    driver over the (already materialized) edge list, then ONE broadcast
+    join back onto the still-distributed node table. Only edges are
+    collected — nodes can be arbitrarily large (singletons keep their own
+    id via coalesce). Produces byte-identical output to the distributed
+    loop: component_id = min key_id reachable.
+
+    PRECONDITION (shared with :func:`connected_components`): every edge
+    endpoint must appear in ``nodes``. With an edge-only id the two paths
+    diverge — this path merges components THROUGH (and can label with)
+    the absent id, while the distributed loop never propagates through
+    unlabeled endpoints (ADVICE r02). Every in-repo caller derives edges
+    from the node table (candidate pairs ⊆ keys; dedup pairs ⊆ sig
+    table), so the contract is documented rather than paid for with two
+    extra semi-joins per invocation on a 10⁸-row edge table."""
+    import pandas as pd
+
+    pdf = edges.select("key_a", "key_b").toPandas()
+    uniq, labels = uf_labels(pdf["key_a"].to_numpy(), pdf["key_b"].to_numpy())
     spark = nodes.sparkSession
     comp = spark.createDataFrame(
-        pd.DataFrame({"key_id": uniq, "component_id": uniq[parent]}),
+        pd.DataFrame({"key_id": uniq, "component_id": labels}),
         schema="key_id bigint, component_id bigint",
     )
     return nodes.select("key_id").join(F.broadcast(comp), "key_id", "left").select(

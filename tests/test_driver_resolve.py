@@ -56,3 +56,27 @@ def test_driver_resolve_matches_distributed(spark, monkeypatch, cap):
     assert fast_idents == slow_idents
     # sanity: the corpus actually clusters (not all singletons)
     assert len({c for (_, _, c) in fast}) < len(fast)
+
+
+def test_minhash_driver_cluster_assembly_matches_distributed(spark, monkeypatch):
+    """r06: the driver cluster-assembly tail of minhash_near_duplicates
+    (edges + doc->sig collected, union-find + fan-out in numpy) must
+    produce the same (cluster_id, doc_id) set as the distributed
+    CC + join + groupBy tail."""
+    import anno_spark.operators.dedup as dd
+
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog wearing pants "
+    for fam in range(12):
+        for v in range(6):
+            rows.append((fam * 100 + v, base + f"family {fam} variant edit {v % 2}"))
+    for i in (5000, 5001):  # identical-signature pair with no edges needed
+        rows.append((i, "completely identical text"))
+    rows += [(9000 + i, f"unique document number {i} with distinct words {i*7}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    fast = {(r["cluster_id"], r["doc_id"]) for r in dd.minhash_near_duplicates(docs).collect()}
+    monkeypatch.setattr(dd, "DRIVER_CLUSTER_MAX_DOCS", -1)
+    slow = {(r["cluster_id"], r["doc_id"]) for r in dd.minhash_near_duplicates(docs).collect()}
+    assert fast == slow
+    assert len(fast) > 0
