@@ -718,7 +718,8 @@ def _driver_resolve_components(
     collect the (already materialized) key surfaces and band-hash
     vectors, generate bucket pairs, score with the pure-Python
     string_similarity (the reference implementation the JVM expression
-    is differentially pinned against — tests/test_resolve_spark.py), and
+    is differentially pinned against —
+    tests/test_spark_pipeline.py::test_string_similarity_expr_parity), and
     union-find in-process. Returns the same (key_id, component_id)
     labeling as candidate_pairs → score_pairs → connected_components:
     component_id = min key_id reachable. Bucket-cap semantics replicated
