@@ -713,15 +713,16 @@ def _driver_resolve_components(
     max_bucket_size: int | None,
     min_similarity: float,
     require_type_match: bool,
-) -> DataFrame:
-    """Small-graph fast path for the whole candidate→score→CC chain:
-    collect the (already materialized) key surfaces and band-hash
+) -> tuple[DataFrame, DataFrame]:
+    """Small-graph fast path for the whole candidate→score→CC→identities
+    chain: collect the (already materialized) key rows and band-hash
     vectors, generate bucket pairs, score with the pure-Python
     string_similarity (the reference implementation the JVM expression
     is differentially pinned against —
     tests/test_spark_pipeline.py::test_string_similarity_expr_parity), and
-    union-find in-process. Returns the same (key_id, component_id)
-    labeling as candidate_pairs → score_pairs → connected_components:
+    union-find in-process. Returns ``(components, identities)`` with the
+    same (key_id, component_id) labeling as candidate_pairs →
+    score_pairs → connected_components —
     component_id = min key_id reachable. Bucket-cap semantics replicated
     exactly (buckets with > cap members dropped for candidate
     generation). The scoring decision is inlined on the STORED surfaces
@@ -729,7 +730,8 @@ def _driver_resolve_components(
     stored too): exact → 1.0, containment → 0.8, else word-set Jaccard,
     with ``split()`` ≡ the JVM ``_word_set`` (differentially pinned)."""
     spark = keys.sparkSession
-    krows = keys.select("key_id", "surface", "entity_type").collect()
+    krows = keys.collect()  # full rows: the identities build below needs
+    # n_mentions/n_docs/first_seen alongside surface/entity_type
     brows = band_sigs.collect()
     bh_by_key = {r["key_id"]: r["band_hashes"] for r in brows}
     buckets: dict[tuple[int, int], list] = {}
@@ -783,17 +785,67 @@ def _driver_resolve_components(
                     lo, hi = (ra, rb) if ra < rb else (rb, ra)
                     parent[hi] = lo
     comp_rows = [(int(k), int(find(k))) for k in sorted(parent)]
+    # identities built from the SAME collected rows (r06): the
+    # distributed identities_table is one groupBy + a broadcast KB join
+    # over a table this path has already collected — ~3 more jobs of
+    # fixed latency for in-hand data. Exact replication of its
+    # semantics: canonical pick = max by (n_mentions, surface,
+    # entity_type) — Python tuple comparison ≡ Spark struct comparison
+    # (longs by value; strings by code point ≡ UTF-8 binary order);
+    # aliases = sorted distinct surfaces (same order property); KB
+    # lookup on the lowercased canonical (surfaces are already
+    # lowercase); first_seen = min, round-tripped as session-local
+    # datetimes. Pinned column-for-column by
+    # tests/test_driver_resolve.py against the distributed build.
+    from anno_spark.core.document import KNOWN_KB_ENTITIES
+
+    comp_of = dict(comp_rows)
+    groups: dict[int, list] = {}
+    for r in krows:
+        groups.setdefault(comp_of.get(r["key_id"], r["key_id"]), []).append(r)
+    has_ts = "first_seen" in keys.columns
+    ident_rows = []
+    for cid, rows in groups.items():
+        pick = max(
+            rows, key=lambda r: (r["n_mentions"], r["surface"], r["entity_type"])
+        )
+        kb = KNOWN_KB_ENTITIES.get(pick["surface"].lower())
+        ident_rows.append(
+            (
+                int(cid),
+                pick["surface"],
+                pick["entity_type"],
+                int(sum(r["n_mentions"] for r in rows)),
+                int(sum(r["n_docs"] for r in rows)),
+                len(rows),
+                sorted({r["surface"] for r in rows}),
+            )
+            + ((min(r["first_seen"] for r in rows),) if has_ts else ())
+            + ((kb[0], kb[1]) if kb else (None, None))
+        )
+    ident_schema = (
+        "identity_id bigint, canonical_name string, entity_type string, "
+        "n_mentions bigint, n_docs bigint, n_surfaces bigint, "
+        "aliases array<string>, "
+        + ("first_seen timestamp, " if has_ts else "")
+        + "kb_id string, kb_description string"
+    )
+    idents = spark.createDataFrame(ident_rows, schema=ident_schema)
     if not comp_rows:
-        return keys.select(
-            "key_id", F.col("key_id").alias("component_id")
+        return (
+            keys.select("key_id", F.col("key_id").alias("component_id")),
+            idents,
         )
     comp = spark.createDataFrame(
         comp_rows, schema="key_id bigint, component_id bigint"
     )
-    return keys.select("key_id").join(F.broadcast(comp), "key_id", "left").select(
+    comps = keys.select("key_id").join(
+        F.broadcast(comp), "key_id", "left"
+    ).select(
         "key_id",
         F.coalesce("component_id", F.col("key_id")).alias("component_id"),
     )
+    return comps, idents
 
 
 def resolve_mentions(
@@ -831,12 +883,14 @@ def resolve_mentions(
     bands, n_band_rows = checkpoint_count(bands)
     n_keys = n_band_rows // CDCR_NUM_BANDS
     if n_keys <= DRIVER_RESOLVE_MAX_KEYS and not force_fallback():
-        # all-driver fast path: pair-gen + scoring + CC in-process (see
-        # _driver_resolve_components) — ~7 Spark jobs of broadcast/
-        # shuffle fixed latency collapse into two cache-read collects
-        comps = _driver_resolve_components(
+        # all-driver fast path: pair-gen + scoring + CC + identities
+        # in-process (see _driver_resolve_components) — ~10 Spark jobs
+        # of broadcast/shuffle fixed latency collapse into two
+        # cache-read collects
+        comps, idents = _driver_resolve_components(
             keys, band_sigs, max_bucket_size, min_similarity, require_type_match
-        ).localCheckpoint(eager=False)
+        )
+        comps = comps.localCheckpoint(eager=False)
     else:
         pairs = candidate_pairs(
             bands,
@@ -847,7 +901,7 @@ def resolve_mentions(
         )
         edges = score_pairs(pairs, min_similarity, require_type_match)
         comps = connected_components(keys, edges).localCheckpoint(eager=False)
-    idents = identities_table(keys, comps)
+        idents = identities_table(keys, comps)
     keyed = keys.join(comps, "key_id").select(
         "surface", "entity_type", F.col("component_id").alias("identity_id")
     )

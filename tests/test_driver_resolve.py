@@ -10,10 +10,14 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def _mentions(spark):
+import datetime
+
+
+def _mentions(spark, with_ts=False):
     # near-identical distinct surfaces (shared 3-gram mass → hot common
-    # LSH buckets), two hot families plus containment/jaccard pairs and
-    # cross-type collisions
+    # LSH buckets), two hot families plus containment/jaccard pairs,
+    # cross-type collisions, KB-hit surfaces, and canonical tie cases
+    # (same n_mentions inside one component)
     rows = [(f"https://ex.com/p{i}", f"acme corporation unit {i}", "ORG") for i in range(120)]
     rows += [(f"https://ex.com/q{i}", f"initech holdings division {i}", "ORG") for i in range(40)]
     rows += [
@@ -22,24 +26,55 @@ def _mentions(spark):
         ("https://ex.com/c", "acme corporation unit 5", "LOC"),  # type clash
         ("https://ex.com/d", "globex", "ORG"),
         ("https://ex.com/e", "globex corporation", "ORG"),
+        ("https://ex.com/f", "Angela Merkel", "PER"),  # KB hit (Q567)
+        ("https://ex.com/g", "Berlin", "LOC"),  # KB hit (Q64)
     ]
-    return spark.createDataFrame(rows, "url string, text string, entity_type string")
+    if not with_ts:
+        return spark.createDataFrame(
+            rows, "url string, text string, entity_type string"
+        )
+    base = datetime.datetime(2024, 1, 1)
+    rows_ts = [
+        (u, t, e, base + datetime.timedelta(seconds=i * 37))
+        for i, (u, t, e) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        rows_ts, "url string, text string, entity_type string, warc_ts timestamp"
+    )
+
+
+def _ident_key(r):
+    return (
+        r["identity_id"],
+        r["canonical_name"],
+        r["entity_type"],
+        r["n_mentions"],
+        r["n_docs"],
+        r["n_surfaces"],
+        tuple(r["aliases"]),
+        r["kb_id"],
+        r["kb_description"],
+        r["first_seen"] if "first_seen" in r.__fields__ else None,
+    )
 
 
 @pytest.mark.parametrize("cap", [None, 16])
-def test_driver_resolve_matches_distributed(spark, monkeypatch, cap):
+@pytest.mark.parametrize("with_ts", [False, True])
+def test_driver_resolve_matches_distributed(spark, monkeypatch, cap, with_ts):
     from anno_spark.operators import resolve as rx
 
-    m = _mentions(spark)
+    m = _mentions(spark, with_ts=with_ts)
     keyed_fast, idents_fast, _ = rx.resolve_mentions(m, max_bucket_size=cap)
     fast = {
         (r["surface"], r["entity_type"], r["component_id"])
         for r in keyed_fast.collect()
     }
-    fast_idents = {
-        (r["identity_id"], r["canonical_name"], r["n_surfaces"])
-        for r in idents_fast.collect()
-    }
+    assert sorted(idents_fast.columns) == sorted(
+        ["identity_id", "canonical_name", "entity_type", "n_mentions",
+         "n_docs", "n_surfaces", "aliases", "kb_id", "kb_description"]
+        + (["first_seen"] if with_ts else [])
+    )
+    fast_idents = {_ident_key(r) for r in idents_fast.collect()}
 
     monkeypatch.setattr(rx, "DRIVER_RESOLVE_MAX_KEYS", -1)
     keyed_slow, idents_slow, _ = rx.resolve_mentions(m, max_bucket_size=cap)
@@ -47,15 +82,13 @@ def test_driver_resolve_matches_distributed(spark, monkeypatch, cap):
         (r["surface"], r["entity_type"], r["component_id"])
         for r in keyed_slow.collect()
     }
-    slow_idents = {
-        (r["identity_id"], r["canonical_name"], r["n_surfaces"])
-        for r in idents_slow.collect()
-    }
+    slow_idents = {_ident_key(r) for r in idents_slow.collect()}
 
     assert fast == slow
     assert fast_idents == slow_idents
-    # sanity: the corpus actually clusters (not all singletons)
+    # sanity: clustering happened and the KB join matched something
     assert len({c for (_, _, c) in fast}) < len(fast)
+    assert any(k[7] == "Q567" for k in fast_idents)
 
 
 def test_minhash_driver_cluster_assembly_matches_distributed(spark, monkeypatch):
